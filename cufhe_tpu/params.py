@@ -1,0 +1,188 @@
+"""Parameter sets for TFHE gate bootstrapping.
+
+The reference (cuFHE) takes all parameters from the TFHEpp submodule at compile
+time, selected by CMake flags (USE_80BIT_SECURITY / USE_CGGI19 / USE_CONCRETE;
+see /root/reference/CMakeLists.txt:8-12 and include/cufheparams.hpp). The TFHEpp
+submodule is empty in the reference snapshot, so the concrete numeric values
+below are reconstructed from the published TFHEpp / TFHE / CONCRETE parameter
+sets. Unlike the reference, parameters here are *runtime* values (frozen
+dataclasses): JAX specializes compiled programs per parameter set via jit, so
+no build flags are needed.
+
+Shape conventions (all torus values are uint32, i.e. Z_{2^32}):
+  TLWE  level-L ciphertext: [k*n + 1]   (a_0..a_{kn-1}, b)
+  TRLWE ciphertext:         [k+1, N]    (a polys first, b last  — matches the
+                                         reference layout, cufhe_gpu.cuh:102)
+  TRGSW ciphertext:         [(k+1)*l, k+1, N]
+  BootstrappingKey:         [n0, (k+1)*l, k+1, N]    (bootstrap_gpu.cu:111-143)
+  KeySwitchingKey:          [k1*N, t, 2^(basebit-1), k0*n0 + 1]
+                                                     (keyswitch_gpu.cuh:60-75)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class LweParams:
+    """TLWE (scalar LWE) parameter set — reference: TFHEpp lvl0param/lvl1param."""
+
+    n: int                 # LWE dimension (per poly; total dim = k*n)
+    k: int = 1             # number of mask polynomials / blocks
+    alpha: float = 0.0     # stddev of modular-Gaussian noise (fraction of torus)
+    mu: int = 1 << 29      # plaintext amplitude (1/8 of the torus)
+
+    @property
+    def dim(self) -> int:
+        return self.k * self.n
+
+
+@dataclasses.dataclass(frozen=True)
+class TrlweParams:
+    """TRLWE/TRGSW parameter set — reference: TFHEpp lvl1param."""
+
+    nbit: int              # log2(N)
+    k: int = 1
+    l: int = 3             # gadget decomposition length
+    Bgbit: int = 6         # gadget base bits (Bg = 2**Bgbit)
+    alpha: float = 0.0
+    mu: int = 1 << 29
+
+    @property
+    def n(self) -> int:
+        return 1 << self.nbit
+
+    @property
+    def Bg(self) -> int:
+        return 1 << self.Bgbit
+
+    @property
+    def decomp_offset(self) -> int:
+        """offsetgen() — gatebootstrapping_gpu.cuh:18-27."""
+        off = 0
+        for i in range(1, self.l + 1):
+            off += (self.Bg // 2) * (1 << (32 - i * self.Bgbit))
+        return off & 0xFFFFFFFF
+
+    @property
+    def decomp_roundoffset(self) -> int:
+        """roundoffset — gatebootstrapping_gpu.cuh:64-66."""
+        return 1 << (32 - self.l * self.Bgbit - 1)
+
+    def as_lwe(self) -> LweParams:
+        """The LWE view of extracted samples (dimension k*N)."""
+        return LweParams(n=self.n, k=self.k, alpha=self.alpha, mu=self.mu)
+
+
+@dataclasses.dataclass(frozen=True)
+class KeySwitchParams:
+    """Identity key switch — reference: TFHEpp lvl10param (keyswitch_gpu.cuh)."""
+
+    t: int = 8             # number of decomposition digits
+    basebit: int = 2       # digit width in bits
+
+    @property
+    def numbase(self) -> int:
+        return 1 << (self.basebit - 1)
+
+    @property
+    def decomp_offset(self) -> int:
+        """iksoffsetgen() — keyswitch_gpu.cuh:13-23."""
+        off = 0
+        for i in range(1, self.t + 1):
+            off += ((1 << self.basebit) // 2) * (1 << (32 - i * self.basebit))
+        return off & 0xFFFFFFFF
+
+    @property
+    def roundoffset(self) -> int:
+        """keyswitch_gpu.cuh:34-37."""
+        if self.basebit * self.t < 32:
+            return 1 << (32 - (1 + self.basebit * self.t))
+        return 0
+
+
+@dataclasses.dataclass(frozen=True)
+class GateParams:
+    """Full gate-bootstrapping parameter bundle.
+
+    Mirrors the reference's ⟨lvl01param, lvl1param::mu, lvl10param⟩ template
+    instantiations (bootstrap_gpu.cu:849,866): `lvl0` is the small LWE level,
+    `lvl1` the TRLWE level, `ks` the lvl1→lvl0 key switch.
+    """
+
+    name: str
+    lvl0: LweParams
+    lvl1: TrlweParams
+    ks: KeySwitchParams
+
+    @property
+    def n0(self) -> int:
+        return self.lvl0.dim
+
+    @property
+    def N(self) -> int:
+        return self.lvl1.n
+
+
+# ---------------------------------------------------------------------------
+# Presets. Noise parameters follow the published TFHEpp / TFHE-lib / CONCRETE
+# sets; the reference selects among these with CMake flags (CMakeLists.txt:8-12).
+# ---------------------------------------------------------------------------
+
+#: TFHEpp 128-bit default (cuFHE's default build).
+TFHEPP_128 = GateParams(
+    name="tfhepp_128bit",
+    lvl0=LweParams(n=636, k=1, alpha=0.0000925119974676756, mu=1 << 29),
+    lvl1=TrlweParams(nbit=10, k=1, l=3, Bgbit=6,
+                     alpha=0.0000000342338787018369, mu=1 << 29),
+    ks=KeySwitchParams(t=8, basebit=2),
+)
+
+#: USE_80BIT_SECURITY — original CGGI16 80-bit set.
+TFHEPP_80 = GateParams(
+    name="tfhepp_80bit",
+    lvl0=LweParams(n=500, k=1, alpha=2.44e-5, mu=1 << 29),
+    lvl1=TrlweParams(nbit=10, k=1, l=2, Bgbit=10, alpha=3.73e-9, mu=1 << 29),
+    ks=KeySwitchParams(t=8, basebit=2),
+)
+
+#: USE_CGGI19 — CGGI19 128-bit set.
+CGGI19 = GateParams(
+    name="cggi19",
+    lvl0=LweParams(n=630, k=1, alpha=3.0517578125e-05, mu=1 << 29),
+    lvl1=TrlweParams(nbit=10, k=1, l=3, Bgbit=7, alpha=2.9802322387695312e-08,
+                     mu=1 << 29),
+    ks=KeySwitchParams(t=8, basebit=2),
+)
+
+#: USE_CONCRETE — CONCRETE boolean default (k=2, N=512; bootstrap_gpu.cu:543).
+CONCRETE = GateParams(
+    name="concrete",
+    lvl0=LweParams(n=586, k=1, alpha=9.25119974676756e-05, mu=1 << 29),
+    lvl1=TrlweParams(nbit=9, k=2, l=2, Bgbit=8, alpha=2.9802322387695312e-08,
+                     mu=1 << 29),
+    ks=KeySwitchParams(t=5, basebit=2),
+)
+
+#: Tiny insecure parameters for fast exact unit tests (alpha = 0 everywhere so
+#: the whole pipeline is deterministic; decomposition/modswitch rounding is the
+#: only "noise").
+TINY = GateParams(
+    name="tiny-insecure-test",
+    lvl0=LweParams(n=16, k=1, alpha=0.0, mu=1 << 29),
+    lvl1=TrlweParams(nbit=6, k=1, l=2, Bgbit=6, alpha=0.0, mu=1 << 29),
+    ks=KeySwitchParams(t=4, basebit=2),
+)
+
+#: Tiny with k=2 to exercise the CONCRETE-style multi-block path.
+TINY_K2 = GateParams(
+    name="tiny-k2-insecure-test",
+    lvl0=LweParams(n=12, k=1, alpha=0.0, mu=1 << 29),
+    lvl1=TrlweParams(nbit=5, k=2, l=2, Bgbit=6, alpha=0.0, mu=1 << 29),
+    ks=KeySwitchParams(t=4, basebit=2),
+)
+
+PRESETS = {p.name: p for p in (TFHEPP_128, TFHEPP_80, CGGI19, CONCRETE, TINY,
+                               TINY_K2)}
+DEFAULT = TFHEPP_128
