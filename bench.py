@@ -1,0 +1,86 @@
+"""Headline benchmark: batched NAND gate bootstraps/sec/chip at the
+TFHEpp 128-bit parameter set (the reference's headline metric; cuFHE
+README.md:29-31 reports 13 ms/gate single-stream on A100, ≈8300 gates/s
+batched across 108 SMs).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is relative to the derived A100 batched throughput (8300/s,
+BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from cufhe_tpu import TFHEPP_128, golden as G
+    from cufhe_tpu.models import Context, encrypt_bits, decrypt_bits
+    from cufhe_tpu.utils import serialization as S
+
+    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    iters = int(os.environ.get("BENCH_ITERS", "4"))
+    backend = os.environ.get("BENCH_BACKEND", "conv")
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_keys_128.npz")
+    sk_cache = cache.replace("keys", "sk")
+    if os.path.exists(cache) and os.path.exists(sk_cache):
+        ek = S.load_eval_key(cache)
+        sk = S.load_secret_key(sk_cache)
+    else:
+        print("generating 128-bit keys (one-time)...", file=sys.stderr)
+        sk = G.keygen(TFHEPP_128, seed=0)
+        ek = G.make_eval_key(sk, seed=1)
+        S.save_eval_key(cache, ek)
+        S.save_secret_key(sk_cache, sk)
+
+    ctx = Context(ek, backend=backend)
+    rng = np.random.default_rng(7)
+    bits0 = rng.integers(0, 2, batch)
+    bits1 = rng.integers(0, 2, batch)
+    a = encrypt_bits(bits0, sk, rng)
+    b = encrypt_bits(bits1, sk, rng)
+
+    # warmup/compile (device_get forces real completion; block_until_ready is
+    # not reliable for timing through the axon tunnel)
+    out = ctx.nand(a, b)
+    np.asarray(jax.device_get(out.data))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = ctx.nand(out, b)  # chain on outputs: device-resident pipeline
+    np.asarray(jax.device_get(out.data))
+    dt = (time.perf_counter() - t0) / iters
+    gates_per_sec = batch / dt
+
+    # correctness spot check on the last output
+    want = list(bits0)
+    for _ in range(iters + 1):
+        want = [1 - (x & y) for x, y in zip(want, bits1)]
+    got = decrypt_bits(out, sk)
+    errors = int(np.sum(got != np.array(want)))
+
+    baseline = 8300.0  # derived A100 batched gates/s (BASELINE.md)
+    print(json.dumps({
+        "metric": "nand_gate_bootstraps_per_sec_per_chip",
+        "value": round(gates_per_sec, 2),
+        "unit": "gates/s",
+        "vs_baseline": round(gates_per_sec / baseline, 4),
+        "batch": batch,
+        "ms_per_batch": round(dt * 1e3, 2),
+        "backend": backend,
+        "params": "tfhepp_128bit",
+        "decrypt_errors": errors,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

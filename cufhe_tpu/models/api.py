@@ -1,0 +1,181 @@
+"""Public host API: Context + typed ciphertext batches.
+
+This is the analogue of the reference's L4 layer (include/cufhe_gpu.cuh +
+src/cufhe_gates_gpu.cu): Initialize(ek) → Context(ek); Ctxt<P> → Ctxt (a
+batched, level-typed array); the 14 gate wrappers → jitted batched methods;
+Streams/multi-GPU → an optional mesh that shards the batch axis.
+
+Ciphertexts live on device between gates (the `g`-prefixed device-resident
+variants, cufhe_gates_gpu.cu:161-167, are the *default* here: host<->device
+movement happens only at encrypt/decrypt).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import golden as G
+from ..ops import bootstrap as B
+from ..ops import keys as K
+from ..params import GateParams
+from ..parallel import mesh as M
+from .gates import GATE_CONSTANTS
+
+
+@dataclasses.dataclass
+class Ctxt:
+    """A batch of TLWE ciphertexts at a given level (Ctxt<P>,
+    cufhe_gpu.cuh:102-121 — but batched and device-resident)."""
+    data: jnp.ndarray  # [B, dim+1] uint32
+    level: int         # 0 (lvl0param) or 1 (lvl1param domain)
+
+    @property
+    def batch(self) -> int:
+        return self.data.shape[0]
+
+
+@dataclasses.dataclass
+class TrlweCtxt:
+    """Batch of TRLWE ciphertexts [B, k+1, N] (cuFHETRLWElvl1 analogue)."""
+    data: jnp.ndarray
+
+
+def encrypt_bits(bits: Sequence[int], sk: G.SecretKey,
+                 rng: Optional[np.random.Generator] = None,
+                 level: int = 0) -> Ctxt:
+    """Encrypt a list/array of bits into a ciphertext batch (client side)."""
+    rng = rng or np.random.default_rng()
+    cts = np.stack([G.encrypt_bit(int(b), sk, rng, level=level)
+                    for b in np.asarray(bits).ravel()])
+    return Ctxt(jnp.asarray(cts), level)
+
+
+def decrypt_bits(ct: Ctxt, sk: G.SecretKey) -> np.ndarray:
+    """Decrypt a ciphertext batch to a bit array (client side)."""
+    data = np.asarray(jax.device_get(ct.data))
+    return np.array([G.decrypt_bit(c, sk, level=ct.level) for c in data],
+                    dtype=np.int64)
+
+
+class Context:
+    """Server-side evaluation context (Initialize(ek) analogue,
+    cufhe_gates_gpu.cu:42-47).
+
+    Converts the evaluation key to MXU limb form once, optionally replicates
+    it across a mesh, and caches one jitted program per (gate, level, batch
+    shape) — the XLA analogue of the reference's per-gate kernels.
+    """
+
+    def __init__(self, ek: G.EvalKey, backend: str = "conv",
+                 mesh: Optional[object] = None):
+        self.params: GateParams = ek.params
+        self.backend = backend
+        self.mesh = mesh
+        keys = K.prepare_keys(ek)
+        self.keys = M.replicate(keys, mesh) if mesh is not None else keys
+        self._cache = {}
+
+    # -- program construction -------------------------------------------
+    def _shard(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.mesh is not None:
+            return M.shard_batch(x, self.mesh)
+        return x
+
+    def _jit(self, key, fn):
+        if key not in self._cache:
+            self._cache[key] = jax.jit(fn)
+        return self._cache[key]
+
+    # -- two-input gates --------------------------------------------------
+    def gate(self, name: str, in0: Ctxt, in1: Ctxt) -> Ctxt:
+        """Evaluate one of the 10 bootstrapped two-input gates on a batch."""
+        if name not in GATE_CONSTANTS:
+            raise ValueError(f"unknown gate {name!r}; "
+                             f"choose from {sorted(GATE_CONSTANTS)}")
+        if in0.level != in1.level:
+            raise ValueError("gate inputs must share a level")
+        consts = GATE_CONSTANTS[name]
+        level = in0.level
+        p, bk = self.params, self.backend
+        if level == 0:
+            fn = functools.partial(B.gate_lvl0, consts, params=p, backend=bk)
+        else:
+            fn = functools.partial(B.gate_lvl1, consts, params=p, backend=bk)
+        prog = self._jit(("gate", name, level),
+                         lambda a, b, keys: fn(a, b, keys=keys))
+        return Ctxt(prog(self._shard(in0.data), self._shard(in1.data),
+                         self.keys), level)
+
+    def mux(self, inc: Ctxt, in1: Ctxt, in0: Ctxt,
+            negate: bool = False) -> Ctxt:
+        """Mux(inc ? in1 : in0) / NMux — two blind rotations
+        (bootstrap_gpu.cu:514-588)."""
+        if not (inc.level == in1.level == in0.level):
+            raise ValueError("mux inputs must share a level")
+        level = inc.level
+        p, bk = self.params, self.backend
+        fn = B.mux_lvl0 if level == 0 else B.mux_lvl1
+        prog = self._jit(("mux", level, negate),
+                         lambda c, x1, x0, keys: fn(c, x1, x0, keys, p,
+                                                    negate=negate,
+                                                    backend=bk))
+        return Ctxt(prog(self._shard(inc.data), self._shard(in1.data),
+                         self._shard(in0.data), self.keys), level)
+
+    def nmux(self, inc: Ctxt, in1: Ctxt, in0: Ctxt) -> Ctxt:
+        return self.mux(inc, in1, in0, negate=True)
+
+    # -- linear gates -------------------------------------------------------
+    def not_(self, ct: Ctxt) -> Ctxt:
+        prog = self._jit(("not",), B.not_gate)
+        return Ctxt(prog(self._shard(ct.data)), ct.level)
+
+    def copy(self, ct: Ctxt) -> Ctxt:
+        return Ctxt(ct.data, ct.level)
+
+    # -- TRLWE / TRGSW path ---------------------------------------------
+    def prepare_trgsw(self, trgsw: np.ndarray) -> dict:
+        """TRGSW2NTT analogue (bootstrap_gpu.cu:75-94)."""
+        return K.prepare_trgsw(trgsw, self.params)
+
+    def cmux(self, trgsw_dev: dict, c1: TrlweCtxt, c0: TrlweCtxt) -> TrlweCtxt:
+        prog = self._jit(("cmux",),
+                         lambda x1, x0, tg: B.cmux(tg, x1, x0, self.params,
+                                                   self.backend))
+        return TrlweCtxt(prog(c1.data, c0.data, trgsw_dev))
+
+    def refresh(self, tr: TrlweCtxt) -> TrlweCtxt:
+        prog = self._jit(("refresh",),
+                         lambda x, keys: B.refresh(x, keys, self.params,
+                                                   self.backend))
+        return TrlweCtxt(prog(tr.data, self.keys))
+
+    def bootstrap_tlwe2trlwe(self, ct: Ctxt, mu: Optional[int] = None
+                             ) -> TrlweCtxt:
+        mu = self.params.lvl1.mu if mu is None else mu
+        prog = self._jit(("b2t", mu),
+                         lambda x, keys: B.bootstrap_tlwe2trlwe(
+                             x, mu, keys, self.params, self.backend))
+        return TrlweCtxt(prog(self._shard(ct.data), self.keys))
+
+    def sample_extract_and_keyswitch(self, tr: TrlweCtxt) -> Ctxt:
+        prog = self._jit(("seiks",),
+                         lambda x, keys: B.sei_and_ks(x, keys, self.params))
+        return Ctxt(prog(tr.data, self.keys), 0)
+
+    # -- named gate shorthands (the reference's public gate list) ---------
+    def nand(self, a, b): return self.gate("nand", a, b)
+    def nor(self, a, b): return self.gate("nor", a, b)
+    def xnor(self, a, b): return self.gate("xnor", a, b)
+    def and_(self, a, b): return self.gate("and", a, b)
+    def or_(self, a, b): return self.gate("or", a, b)
+    def xor(self, a, b): return self.gate("xor", a, b)
+    def and_ny(self, a, b): return self.gate("andny", a, b)
+    def and_yn(self, a, b): return self.gate("andyn", a, b)
+    def or_ny(self, a, b): return self.gate("orny", a, b)
+    def or_yn(self, a, b): return self.gate("oryn", a, b)

@@ -1,0 +1,58 @@
+"""Composite encrypted circuits built from the gate set.
+
+The reference exposes only single gates; circuits like these are its intended
+use-case (the Virtual Secure Platform runs a whole CPU out of them,
+README.md:2-7). Each circuit here is a host-side composition of the jitted
+batched gate programs — the analogue of chaining `g`-prefixed device-resident
+gates on a stream (cufhe_gates_gpu.cu:161-167).
+
+All circuits operate bitwise on batches: a "word" is a list of Ctxt batches,
+LSB first, so a single circuit evaluation processes B independent words.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from .api import Context, Ctxt
+
+
+def half_adder(ctx: Context, a: Ctxt, b: Ctxt) -> tuple[Ctxt, Ctxt]:
+    """(sum, carry)."""
+    return ctx.xor(a, b), ctx.and_(a, b)
+
+
+def full_adder(ctx: Context, a: Ctxt, b: Ctxt, cin: Ctxt
+               ) -> tuple[Ctxt, Ctxt]:
+    """(sum, carry-out) — 5 bootstrapped gates."""
+    s1 = ctx.xor(a, b)
+    s = ctx.xor(s1, cin)
+    c1 = ctx.and_(a, b)
+    c2 = ctx.and_(s1, cin)
+    return s, ctx.or_(c1, c2)
+
+
+def ripple_carry_add(ctx: Context, a: Sequence[Ctxt], b: Sequence[Ctxt],
+                     cin: Ctxt) -> tuple[List[Ctxt], Ctxt]:
+    """n-bit adder, LSB first. Returns (sum bits, carry-out)."""
+    assert len(a) == len(b)
+    out = []
+    c = cin
+    for ai, bi in zip(a, b):
+        s, c = full_adder(ctx, ai, bi, c)
+        out.append(s)
+    return out, c
+
+
+def equals(ctx: Context, a: Sequence[Ctxt], b: Sequence[Ctxt]) -> Ctxt:
+    """Encrypted equality of two n-bit words."""
+    bits = [ctx.xnor(ai, bi) for ai, bi in zip(a, b)]
+    acc = bits[0]
+    for bit in bits[1:]:
+        acc = ctx.and_(acc, bit)
+    return acc
+
+
+def select_word(ctx: Context, sel: Ctxt, a: Sequence[Ctxt],
+                b: Sequence[Ctxt]) -> List[Ctxt]:
+    """sel ? a : b, bitwise Mux."""
+    return [ctx.mux(sel, ai, bi) for ai, bi in zip(a, b)]

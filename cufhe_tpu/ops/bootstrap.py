@@ -1,0 +1,187 @@
+"""Gate bootstrapping programs: blind rotation, gates, Mux, CMUX, Refresh.
+
+Each reference fused CUDA kernel (__HomGate__ and friends, bootstrap_gpu.cu)
+becomes a single jitted XLA program over a ciphertext *batch*: the
+one-block-per-gate + streams model maps to the leading batch axis, and the
+inherently sequential n0-step accumulator loop is a lax.fori_loop
+(SURVEY.md §7 design stance).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..params import GateParams
+from .keys import DeviceKeys
+from .keyswitch import key_switch
+from .poly import (batched_test_vector, decompose, decompose_rotate_sub,
+                   negacyclic_conv_i8, negacyclic_conv_toeplitz,
+                   sample_extract_index0, split_decomp_digits)
+
+U32 = jnp.uint32
+
+
+def _mod_switch(phase: jnp.ndarray, nbit: int) -> jnp.ndarray:
+    """modSwitchFromTorus (gatebootstrapping_gpu.cuh:10-16)."""
+    return phase >> U32(32 - 1 - nbit)
+
+
+def _conv_update(dec: jnp.ndarray, bk_i, params: GateParams,
+                 backend: str) -> jnp.ndarray:
+    """One external product: decomposed digits x one TRGSW -> [B,k+1,N] u32."""
+    lp = params.lvl1
+    out = None
+    dec_limbs, bits = split_decomp_digits(dec, lp.Bgbit)
+    for dl, d8 in enumerate(dec_limbs):
+        if backend == "conv":
+            upd = negacyclic_conv_i8(d8, bk_i["filters"], lp.k)
+        else:
+            upd = negacyclic_conv_toeplitz(d8, bk_i["limbs"], lp.k)
+        if dl:
+            upd = upd << U32(bits * dl)
+        out = upd if out is None else out + upd
+    return out
+
+
+def blind_rotate(a: jnp.ndarray, b: jnp.ndarray, mu: int, keys: DeviceKeys,
+                 params: GateParams, backend: str = "conv") -> jnp.ndarray:
+    """__BlindRotate__ (gatebootstrapping_gpu.cuh:287-314), batched.
+
+    a: [B, n0] uint32 mask, b: [B] uint32 body (gate pre-add already fused by
+    the caller). Returns the TRLWE accumulator [B, k+1, N] uint32.
+    """
+    lp = params.lvl1
+    n0 = params.lvl0.dim
+    bar = U32(2 * lp.n) - _mod_switch(b, lp.nbit)
+    acc = batched_test_vector(bar, mu, lp)
+    roundoffset = U32(1 << (32 - 2 - lp.nbit))
+
+    def body(i, acc):
+        a_i = lax.dynamic_index_in_dim(a, i, axis=1, keepdims=False)
+        a_bar = _mod_switch(a_i + roundoffset, lp.nbit)
+        dec = decompose_rotate_sub(acc, a_bar, lp)
+        bk_i = {
+            "filters": lax.dynamic_index_in_dim(keys.bk_filters, i, 0, False),
+            "limbs": lax.dynamic_index_in_dim(keys.bk_limbs, i, 0, False),
+        }
+        return acc + _conv_update(dec, bk_i, params, backend)
+
+    return lax.fori_loop(0, n0, body, acc)
+
+
+def _pre_add(in0, in1, ca, cb, offset, dim):
+    comb = U32(ca % (1 << 32)) * in0 + U32(cb % (1 << 32)) * in1
+    return comb[:, :dim], comb[:, dim] + U32(offset % (1 << 32))
+
+
+def gate_lvl0(gate_consts, in0: jnp.ndarray, in1: jnp.ndarray,
+              keys: DeviceKeys, params: GateParams,
+              backend: str = "conv") -> jnp.ndarray:
+    """__HomGate__ br->iks order (bootstrap_gpu.cu:402-421): lvl0 inputs,
+    fused pre-add into the mod switch, BR, extract, KS back to lvl0."""
+    ca, cb, om = gate_consts
+    n0 = params.lvl0.dim
+    a, b = _pre_add(in0, in1, ca, cb, om * params.lvl0.mu, n0)
+    acc = blind_rotate(a, b, params.lvl1.mu, keys, params, backend)
+    tlwe1 = sample_extract_index0(acc, params.lvl1)
+    return key_switch(tlwe1, keys.ksk_limbs, params)
+
+
+def gate_lvl1(gate_consts, in0: jnp.ndarray, in1: jnp.ndarray,
+              keys: DeviceKeys, params: GateParams,
+              backend: str = "conv") -> jnp.ndarray:
+    """__HomGate__ iks->br order (bootstrap_gpu.cu:383-400): lvl1 inputs,
+    pre-add fused into the key switch, BR, extract to lvl1."""
+    ca, cb, om = gate_consts
+    tlwe0 = key_switch(in0, keys.ksk_limbs, params,
+                       pre=(ca, cb, om * params.lvl1.mu, in1))
+    acc = blind_rotate(tlwe0[:, :params.lvl0.dim], tlwe0[:, params.lvl0.dim],
+                       params.lvl1.mu, keys, params, backend)
+    return sample_extract_index0(acc, params.lvl1)
+
+
+def mux_lvl0(inc, in1, in0, keys: DeviceKeys, params: GateParams,
+             negate: bool = False, backend: str = "conv") -> jnp.ndarray:
+    """__MuxBootstrap__/__NMuxBootstrap__ lvl0 (bootstrap_gpu.cu:514-588)."""
+    n0 = params.lvl0.dim
+    mu0, mu1 = params.lvl0.mu, params.lvl1.mu
+    a1, b1 = _pre_add(inc, in1, 1, 1, -mu0, n0)
+    acc1 = blind_rotate(a1, b1, mu1, keys, params, backend)
+    a0, b0 = _pre_add(inc, in0, -1, 1, -mu0, n0)
+    acc0 = blind_rotate(a0, b0, mu1, keys, params, backend)
+    acc = acc1 + acc0
+    if negate:
+        acc = jnp.negative(acc)
+        acc = acc.at[:, params.lvl1.k, 0].add(U32((-mu1) % (1 << 32)))
+    else:
+        acc = acc.at[:, params.lvl1.k, 0].add(U32(mu1))
+    tlwe1 = sample_extract_index0(acc, params.lvl1)
+    return key_switch(tlwe1, keys.ksk_limbs, params)
+
+
+def mux_lvl1(inc, in1, in0, keys: DeviceKeys, params: GateParams,
+             negate: bool = False, backend: str = "conv") -> jnp.ndarray:
+    """__MuxBootstrap__/__NMuxBootstrap__ lvl1 (bootstrap_gpu.cu:705-780)."""
+    n0 = params.lvl0.dim
+    d1 = params.lvl1.k * params.lvl1.n
+    mu1 = params.lvl1.mu
+    t1 = key_switch(inc, keys.ksk_limbs, params, pre=(1, 1, -mu1, in1))
+    acc1 = blind_rotate(t1[:, :n0], t1[:, n0], mu1, keys, params, backend)
+    t0 = key_switch(inc, keys.ksk_limbs, params, pre=(-1, 1, -mu1, in0))
+    acc0 = blind_rotate(t0[:, :n0], t0[:, n0], mu1, keys, params, backend)
+    out = sample_extract_index0(acc1 + acc0, params.lvl1)
+    if negate:
+        out = jnp.negative(out)
+        out = out.at[:, d1].add(U32((-mu1) % (1 << 32)))
+    else:
+        out = out.at[:, d1].add(U32(mu1))
+    return out
+
+
+def not_gate(ct: jnp.ndarray) -> jnp.ndarray:
+    """__NotBootstrap__ — pure negation (bootstrap_gpu.cu:692-703)."""
+    return jnp.negative(ct)
+
+
+def copy_gate(ct: jnp.ndarray) -> jnp.ndarray:
+    return ct
+
+
+def cmux(trgsw_dev: dict, c1: jnp.ndarray, c0: jnp.ndarray,
+         params: GateParams, backend: str = "conv") -> jnp.ndarray:
+    """__CMUXNTT__ (bootstrap_gpu.cu:197-285): c0 + trgsw ⊡ (c1-c0), batched.
+    trgsw_dev comes from keys.prepare_trgsw (the TRGSW2NTT analogue)."""
+    lp = params.lvl1
+    off = U32((lp.decomp_offset + lp.decomp_roundoffset) % (1 << 32))
+    dec = decompose(c1 - c0 + off, lp)
+    return c0 + _conv_update(dec, trgsw_dev, params, backend)
+
+
+def refresh(trlwe: jnp.ndarray, keys: DeviceKeys, params: GateParams,
+            backend: str = "conv") -> jnp.ndarray:
+    """TRLWE -> TRLWE noise refresh (__SEIandBootstrap2TRLWE__ intent,
+    bootstrap_gpu.cu:325-364; see golden.refresh re the reference quirk)."""
+    tlwe1 = sample_extract_index0(trlwe, params.lvl1)
+    tlwe0 = key_switch(tlwe1, keys.ksk_limbs, params)
+    n0 = params.lvl0.dim
+    return blind_rotate(tlwe0[:, :n0], tlwe0[:, n0], params.lvl1.mu, keys,
+                        params, backend)
+
+
+def bootstrap_tlwe2trlwe(tlwe0: jnp.ndarray, mu: int, keys: DeviceKeys,
+                         params: GateParams,
+                         backend: str = "conv") -> jnp.ndarray:
+    """GateBootstrappingTLWE2TRLWElvl01NTT (bootstrap_gpu.cu:806-815)."""
+    n0 = params.lvl0.dim
+    return blind_rotate(tlwe0[:, :n0], tlwe0[:, n0], mu, keys, params,
+                        backend)
+
+
+def sei_and_ks(trlwe: jnp.ndarray, keys: DeviceKeys,
+               params: GateParams) -> jnp.ndarray:
+    """SampleExtractAndKeySwitch (keyswitch_gpu.cu:26-40)."""
+    return key_switch(sample_extract_index0(trlwe, params.lvl1),
+                      keys.ksk_limbs, params)

@@ -1,0 +1,81 @@
+"""Device key preparation — the TPU analogue of BootstrappingKeyToNTT +
+KeySwitchingKeyToDevice (bootstrap_gpu.cu:111-143, keyswitch_gpu.cu:6-16).
+
+Where the reference converts the BK to NTT form once at Initialize(), we
+convert it once to *signed-byte limb* form: the representation the MXU
+consumes directly. Keys are read-only and replicated across the device mesh
+(the multi-GPU replication strategy, cufhe_gpu.cuh:76-95, made explicit).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..golden import EvalKey
+from ..params import GateParams
+from .limbs import NLIMBS, u32_to_signed_limbs
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceKeys:
+    """Limb-encoded evaluation keys living on device (pytree).
+
+    bk_filters: [n0, (k+1)*NLIMBS, (k+1)*l, N] int8 — reversed filters for
+        the conv backend; output channel o*NLIMBS + limb.
+    bk_limbs:   [n0, NLIMBS, (k+1)*l, k+1, N] int8 — natural order, for the
+        Toeplitz backend.
+    ksk_limbs:  [NLIMBS, k1*N*t*numbase, k0*n0+1] int8 — flattened KSK with
+        contraction index j*(t*numbase) + dig*numbase + m (the reference's
+        gather layout, keyswitch_gpu.cuh:68-71, transposed for the MXU).
+    """
+    bk_filters: jnp.ndarray
+    bk_limbs: jnp.ndarray
+    ksk_limbs: jnp.ndarray
+
+
+def prepare_trgsw(trgsw: np.ndarray, params: GateParams) -> dict:
+    """Limb-encode one user TRGSW (the TRGSW2NTT analogue,
+    bootstrap_gpu.cu:75-94) for CMUX. trgsw: [(k+1)l, k+1, N] uint32."""
+    limbs = u32_to_signed_limbs(trgsw)              # [(k+1)l, k+1, N, L]
+    nat = np.moveaxis(limbs, 3, 0)                  # [L, (k+1)l, k+1, N]
+    filt = np.moveaxis(limbs, 3, 2)                 # [(k+1)l, k+1, L, N]
+    kp1 = trgsw.shape[1]
+    filt = filt.reshape(trgsw.shape[0], kp1 * NLIMBS, trgsw.shape[2])
+    filt = np.moveaxis(filt, 0, 1)[..., ::-1]       # [O, I, N] reversed
+    return {"filters": jnp.asarray(np.ascontiguousarray(filt)),
+            "limbs": jnp.asarray(nat)}
+
+
+def prepare_keys(ek: EvalKey, device=None) -> DeviceKeys:
+    """One-time host-side key conversion + upload (Initialize(ek) analogue,
+    cufhe_gates_gpu.cu:42-47)."""
+    p = ek.params
+    n0 = p.lvl0.dim
+    lp = p.lvl1
+    kp1 = lp.k + 1
+    rows = kp1 * lp.l
+
+    # BK: [n0, rows, k+1, N] u32 -> limbs [n0, rows, k+1, N, L]
+    bl = u32_to_signed_limbs(ek.bk)
+    bk_limbs = np.moveaxis(bl, 4, 1)                # [n0, L, rows, k+1, N]
+    # conv filters: [n0, O=(k+1)*L, I=rows, N], reversed along N
+    filt = np.moveaxis(bl, 4, 3)                    # [n0, rows, k+1, L, N]
+    filt = filt.reshape(n0, rows, kp1 * NLIMBS, lp.n)
+    filt = np.moveaxis(filt, 1, 2)[..., ::-1]       # [n0, O, I, N]
+
+    # KSK: [d1, t, numbase, n0+1] u32 -> [L, d1*t*numbase, n0+1] int8
+    kl = u32_to_signed_limbs(ek.ksk)                # [d1, t, nb, n0+1, L]
+    d1 = ek.ksk.shape[0]
+    K = d1 * p.ks.t * p.ks.numbase
+    ksk_limbs = np.moveaxis(kl, 4, 0).reshape(NLIMBS, K, n0 + 1)
+
+    put = (lambda x: jax.device_put(jnp.asarray(np.ascontiguousarray(x)),
+                                    device)) if device is not None else \
+        (lambda x: jnp.asarray(np.ascontiguousarray(x)))
+    return DeviceKeys(bk_filters=put(filt), bk_limbs=put(bk_limbs),
+                      ksk_limbs=put(ksk_limbs))

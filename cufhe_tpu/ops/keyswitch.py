@@ -1,0 +1,70 @@
+"""Identity key switch as a signed-one-hot x KSK matmul.
+
+The reference's per-digit KSK gather (keyswitch_gpu.cuh:60-75) is hostile to
+the TPU; here each decomposed digit selects a row of the limb-encoded KSK via
+a {-1, 0, +1} coefficient matrix, so the whole key switch is NLIMBS int8
+matmuls on the MXU (SURVEY.md §7 "keyswitch without gathers"). Exact: all
+arithmetic is integer and the coefficient magnitudes keep partial sums far
+below 2^31.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..params import GateParams
+from .limbs import LIMB_BITS, NLIMBS
+
+U32 = jnp.uint32
+
+
+def ks_decompose_coeffs(a_in: jnp.ndarray, params: GateParams) -> jnp.ndarray:
+    """[B, d1] uint32 -> [B, d1*t*numbase] int8 selection coefficients.
+
+    Digit val in [-halfbase, halfbase); val = +(m+1) selects row m with -1,
+    val = -(m+1) selects row m with +1 (the subtract-for-positive convention,
+    keyswitch_gpu.cuh:72-73).
+    """
+    kp = params.ks
+    mask = U32((1 << kp.basebit) - 1)
+    halfbase = jnp.int32(1 << (kp.basebit - 1))
+    off = U32((kp.decomp_offset + kp.roundoffset) % (1 << 32))
+    tmp = a_in + off
+    coeffs = []
+    for dig in range(kp.t):
+        sh = U32(32 - (dig + 1) * kp.basebit)
+        val = ((tmp >> sh) & mask).astype(jnp.int32) - halfbase  # [B, d1]
+        row = []
+        for m in range(kp.numbase):
+            c = (val == -(m + 1)).astype(jnp.int8) \
+                - (val == (m + 1)).astype(jnp.int8)
+            row.append(c)
+        coeffs.append(jnp.stack(row, axis=-1))      # [B, d1, numbase]
+    co = jnp.stack(coeffs, axis=2)                   # [B, d1, t, numbase]
+    B = co.shape[0]
+    return co.reshape(B, -1)                          # j-major, then dig, m
+
+
+def key_switch(tlwe1: jnp.ndarray, ksk_limbs: jnp.ndarray,
+               params: GateParams, pre=None) -> jnp.ndarray:
+    """KeySwitchFromTLWE / IdentityKeySwitchPreAdd (keyswitch_gpu.cuh:83-188),
+    batched. tlwe1: [B, d1+1] uint32; pre = (ca, cb, offset, other) fuses the
+    gate linear combination. Returns [B, n0+1] uint32."""
+    d1 = params.lvl1.k * params.lvl1.n
+    n0 = params.lvl0.dim
+    if pre is not None:
+        ca, cb, offset, other = pre
+        comb = U32(ca % (1 << 32)) * tlwe1 + U32(cb % (1 << 32)) * other
+        a_in = comb[:, :d1]
+        b_in = comb[:, d1] + U32(offset % (1 << 32))
+    else:
+        a_in = tlwe1[:, :d1]
+        b_in = tlwe1[:, d1]
+
+    co = ks_decompose_coeffs(a_in, params)            # [B, K] int8
+    out = jnp.zeros((co.shape[0], n0 + 1), dtype=U32)
+    for l in range(NLIMBS):
+        prod = lax.dot_general(co, ksk_limbs[l], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+        out = out + (prod.astype(U32) << U32(LIMB_BITS * l))
+    return out.at[:, n0].add(b_in)
