@@ -26,7 +26,7 @@ def main() -> None:
 
     batch = int(os.environ.get("BENCH_BATCH", "512"))
     iters = int(os.environ.get("BENCH_ITERS", "4"))
-    backend = os.environ.get("BENCH_BACKEND", "conv")
+    backend = os.environ.get("BENCH_BACKEND", "auto")
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_keys_128.npz")

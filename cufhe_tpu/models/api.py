@@ -71,7 +71,7 @@ class Context:
     shape) — the XLA analogue of the reference's per-gate kernels.
     """
 
-    def __init__(self, ek: G.EvalKey, backend: str = "conv",
+    def __init__(self, ek: G.EvalKey, backend: str = "auto",
                  mesh: Optional[object] = None):
         self.params: GateParams = ek.params
         self.backend = backend

@@ -29,9 +29,21 @@ def _mod_switch(phase: jnp.ndarray, nbit: int) -> jnp.ndarray:
     return phase >> U32(32 - 1 - nbit)
 
 
+def resolve_backend(backend: str, params: GateParams) -> str:
+    """'auto' -> the fused Pallas kernel when shapes allow, else XLA conv."""
+    if backend != "auto":
+        return backend
+    lp = params.lvl1
+    if lp.n % 128 == 0 and lp.Bgbit <= 8:
+        return "pallas"
+    return "conv"
+
+
 def _conv_update(dec: jnp.ndarray, bk_i, params: GateParams,
                  backend: str) -> jnp.ndarray:
     """One external product: decomposed digits x one TRGSW -> [B,k+1,N] u32."""
+    if backend in ("auto", "pallas"):
+        backend = "conv"  # CMUX-sized single products use the conv path
     lp = params.lvl1
     out = None
     dec_limbs, bits = split_decomp_digits(dec, lp.Bgbit)
@@ -47,17 +59,30 @@ def _conv_update(dec: jnp.ndarray, bk_i, params: GateParams,
 
 
 def blind_rotate(a: jnp.ndarray, b: jnp.ndarray, mu: int, keys: DeviceKeys,
-                 params: GateParams, backend: str = "conv") -> jnp.ndarray:
+                 params: GateParams, backend: str = "auto") -> jnp.ndarray:
     """__BlindRotate__ (gatebootstrapping_gpu.cuh:287-314), batched.
 
     a: [B, n0] uint32 mask, b: [B] uint32 body (gate pre-add already fused by
     the caller). Returns the TRLWE accumulator [B, k+1, N] uint32.
     """
+    backend = resolve_backend(backend, params)
     lp = params.lvl1
     n0 = params.lvl0.dim
     bar = U32(2 * lp.n) - _mod_switch(b, lp.nbit)
     acc = batched_test_vector(bar, mu, lp)
     roundoffset = U32(1 << (32 - 2 - lp.nbit))
+
+    if backend == "pallas":
+        from .pallas_br import blind_rotate_pallas
+        abar = _mod_switch(a + roundoffset, lp.nbit).T    # [n0, B]
+        pad = (-n0) % 8
+        if pad:
+            abar = jnp.pad(abar, ((0, pad), (0, 0)))
+        B = a.shape[0]
+        bt = B if B < 256 else max(
+            d for d in (256, 128, 64, 32, 16, 8) if B % d == 0)
+        return blind_rotate_pallas(acc, abar, keys.bk_wext, params,
+                                   b_tile=bt)
 
     def body(i, acc):
         a_i = lax.dynamic_index_in_dim(a, i, axis=1, keepdims=False)
@@ -79,7 +104,7 @@ def _pre_add(in0, in1, ca, cb, offset, dim):
 
 def gate_lvl0(gate_consts, in0: jnp.ndarray, in1: jnp.ndarray,
               keys: DeviceKeys, params: GateParams,
-              backend: str = "conv") -> jnp.ndarray:
+              backend: str = "auto") -> jnp.ndarray:
     """__HomGate__ br->iks order (bootstrap_gpu.cu:402-421): lvl0 inputs,
     fused pre-add into the mod switch, BR, extract, KS back to lvl0."""
     ca, cb, om = gate_consts
@@ -92,7 +117,7 @@ def gate_lvl0(gate_consts, in0: jnp.ndarray, in1: jnp.ndarray,
 
 def gate_lvl1(gate_consts, in0: jnp.ndarray, in1: jnp.ndarray,
               keys: DeviceKeys, params: GateParams,
-              backend: str = "conv") -> jnp.ndarray:
+              backend: str = "auto") -> jnp.ndarray:
     """__HomGate__ iks->br order (bootstrap_gpu.cu:383-400): lvl1 inputs,
     pre-add fused into the key switch, BR, extract to lvl1."""
     ca, cb, om = gate_consts
@@ -104,7 +129,7 @@ def gate_lvl1(gate_consts, in0: jnp.ndarray, in1: jnp.ndarray,
 
 
 def mux_lvl0(inc, in1, in0, keys: DeviceKeys, params: GateParams,
-             negate: bool = False, backend: str = "conv") -> jnp.ndarray:
+             negate: bool = False, backend: str = "auto") -> jnp.ndarray:
     """__MuxBootstrap__/__NMuxBootstrap__ lvl0 (bootstrap_gpu.cu:514-588)."""
     n0 = params.lvl0.dim
     mu0, mu1 = params.lvl0.mu, params.lvl1.mu
@@ -123,7 +148,7 @@ def mux_lvl0(inc, in1, in0, keys: DeviceKeys, params: GateParams,
 
 
 def mux_lvl1(inc, in1, in0, keys: DeviceKeys, params: GateParams,
-             negate: bool = False, backend: str = "conv") -> jnp.ndarray:
+             negate: bool = False, backend: str = "auto") -> jnp.ndarray:
     """__MuxBootstrap__/__NMuxBootstrap__ lvl1 (bootstrap_gpu.cu:705-780)."""
     n0 = params.lvl0.dim
     d1 = params.lvl1.k * params.lvl1.n
@@ -151,7 +176,7 @@ def copy_gate(ct: jnp.ndarray) -> jnp.ndarray:
 
 
 def cmux(trgsw_dev: dict, c1: jnp.ndarray, c0: jnp.ndarray,
-         params: GateParams, backend: str = "conv") -> jnp.ndarray:
+         params: GateParams, backend: str = "auto") -> jnp.ndarray:
     """__CMUXNTT__ (bootstrap_gpu.cu:197-285): c0 + trgsw ⊡ (c1-c0), batched.
     trgsw_dev comes from keys.prepare_trgsw (the TRGSW2NTT analogue)."""
     lp = params.lvl1
@@ -161,7 +186,7 @@ def cmux(trgsw_dev: dict, c1: jnp.ndarray, c0: jnp.ndarray,
 
 
 def refresh(trlwe: jnp.ndarray, keys: DeviceKeys, params: GateParams,
-            backend: str = "conv") -> jnp.ndarray:
+            backend: str = "auto") -> jnp.ndarray:
     """TRLWE -> TRLWE noise refresh (__SEIandBootstrap2TRLWE__ intent,
     bootstrap_gpu.cu:325-364; see golden.refresh re the reference quirk)."""
     tlwe1 = sample_extract_index0(trlwe, params.lvl1)
@@ -173,7 +198,7 @@ def refresh(trlwe: jnp.ndarray, keys: DeviceKeys, params: GateParams,
 
 def bootstrap_tlwe2trlwe(tlwe0: jnp.ndarray, mu: int, keys: DeviceKeys,
                          params: GateParams,
-                         backend: str = "conv") -> jnp.ndarray:
+                         backend: str = "auto") -> jnp.ndarray:
     """GateBootstrappingTLWE2TRLWElvl01NTT (bootstrap_gpu.cu:806-815)."""
     n0 = params.lvl0.dim
     return blind_rotate(tlwe0[:, :n0], tlwe0[:, n0], mu, keys, params,

@@ -36,6 +36,7 @@ class DeviceKeys:
     bk_filters: jnp.ndarray
     bk_limbs: jnp.ndarray
     ksk_limbs: jnp.ndarray
+    bk_wext: jnp.ndarray  # [n0, G, 2N] int8 — pallas banded-Toeplitz format
 
 
 def prepare_trgsw(trgsw: np.ndarray, params: GateParams) -> dict:
@@ -74,8 +75,11 @@ def prepare_keys(ek: EvalKey, device=None) -> DeviceKeys:
     K = d1 * p.ks.t * p.ks.numbase
     ksk_limbs = np.moveaxis(kl, 4, 0).reshape(NLIMBS, K, n0 + 1)
 
+    from .pallas_br import prepare_wext
+    wext = prepare_wext(ek.bk, p)
+
     put = (lambda x: jax.device_put(jnp.asarray(np.ascontiguousarray(x)),
                                     device)) if device is not None else \
         (lambda x: jnp.asarray(np.ascontiguousarray(x)))
     return DeviceKeys(bk_filters=put(filt), bk_limbs=put(bk_limbs),
-                      ksk_limbs=put(ksk_limbs))
+                      ksk_limbs=put(ksk_limbs), bk_wext=put(wext))

@@ -175,6 +175,15 @@ TINY = GateParams(
     ks=KeySwitchParams(t=4, basebit=2),
 )
 
+#: Tiny-but-N=128 insecure set for exercising the Pallas kernel (which needs
+#: N to be a multiple of 128) in interpret mode on CPU.
+PALLAS_TINY = GateParams(
+    name="pallas-tiny-insecure-test",
+    lvl0=LweParams(n=8, k=1, alpha=0.0, mu=1 << 29),
+    lvl1=TrlweParams(nbit=7, k=1, l=2, Bgbit=6, alpha=0.0, mu=1 << 29),
+    ks=KeySwitchParams(t=4, basebit=2),
+)
+
 #: Tiny with k=2 to exercise the CONCRETE-style multi-block path.
 TINY_K2 = GateParams(
     name="tiny-k2-insecure-test",
@@ -184,5 +193,5 @@ TINY_K2 = GateParams(
 )
 
 PRESETS = {p.name: p for p in (TFHEPP_128, TFHEPP_80, CGGI19, CONCRETE, TINY,
-                               TINY_K2)}
+                               PALLAS_TINY, TINY_K2)}
 DEFAULT = TFHEPP_128

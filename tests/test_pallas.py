@@ -1,0 +1,76 @@
+"""Fused Pallas blind-rotate kernel vs golden model (interpret mode on CPU;
+the same kernel is verified bit-exact on real TPU hardware by bench.py)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cufhe_tpu import golden as G
+from cufhe_tpu import params as P
+from cufhe_tpu.ops import bootstrap as B
+from cufhe_tpu.ops import keys as K
+
+
+@pytest.fixture(scope="module")
+def pallas_key():
+    sk = G.keygen(P.PALLAS_TINY, seed=10)
+    ek = G.make_eval_key(sk, seed=11)
+    return sk, ek
+
+
+def test_backend_resolution():
+    assert B.resolve_backend("auto", P.TFHEPP_128) == "pallas"
+    assert B.resolve_backend("auto", P.TINY) == "conv"        # N=64
+    assert B.resolve_backend("auto", P.TFHEPP_80) == "conv"   # Bgbit=10
+    assert B.resolve_backend("conv", P.TFHEPP_128) == "conv"
+
+
+def test_pallas_blind_rotate_bitexact(pallas_key, rng):
+    sk, ek = pallas_key
+    p = sk.params
+    keys = K.prepare_keys(ek)
+    cts = [G.encrypt_bit(b, sk, rng) for b in (0, 1, 1, 0)]
+    want = np.stack([G.blind_rotate(c, p.lvl1.mu, ek) for c in cts])
+    batch = jnp.asarray(np.stack(cts))
+    got = np.asarray(B.blind_rotate(batch[:, :p.n0], batch[:, p.n0],
+                                    p.lvl1.mu, keys, p, "pallas"))
+    assert np.array_equal(got, want)
+
+
+def test_pallas_full_gate_bitexact(pallas_key, rng):
+    sk, ek = pallas_key
+    p = sk.params
+    keys = K.prepare_keys(ek)
+    bits0, bits1 = [0, 1, 0, 1], [0, 0, 1, 1]
+    c0 = [G.encrypt_bit(b, sk, rng) for b in bits0]
+    c1 = [G.encrypt_bit(b, sk, rng) for b in bits1]
+    want = np.stack([G.gate_lvl0("nand", a, b, ek) for a, b in zip(c0, c1)])
+    got = np.asarray(B.gate_lvl0(G.GATE_CONSTANTS["nand"],
+                                 jnp.asarray(np.stack(c0)),
+                                 jnp.asarray(np.stack(c1)), keys, p,
+                                 backend="pallas"))
+    assert np.array_equal(got, want)
+    assert [G.decrypt_bit(g, sk) for g in got] == \
+        [1 - (a & b) for a, b in zip(bits0, bits1)]
+
+
+def test_wext_prep_roundtrip(pallas_key):
+    """wext column 4p+c is the c-rotated negacyclic extension of the limb
+    polynomial, and limbs recombine to the original BK mod 2^32."""
+    from cufhe_tpu.ops.pallas_br import (BK_LIMB_BITS, BK_NLIMBS,
+                                         prepare_wext)
+    _, ek = pallas_key
+    p = ek.params
+    w = prepare_wext(ek.bk, p)
+    N = p.lvl1.n
+    I = (p.lvl1.k + 1) * p.lvl1.l
+    # recombine limbs for poly (i=0, j=0, o=0)
+    rec = np.zeros(N, dtype=np.int64)
+    for li in range(BK_NLIMBS):
+        col = (0 * BK_NLIMBS + li) * I + 0
+        poly = w[0, N - 1:2 * N - 1, 4 * col].astype(np.int64)
+        rec += poly << (BK_LIMB_BITS * li)
+        # pre-rotated copies match np.roll
+        assert np.array_equal(w[0, :, 4 * col + 3],
+                              np.roll(w[0, :, 4 * col], 3))
+    assert np.array_equal(rec.astype(np.uint32), ek.bk[0, 0, 0])
