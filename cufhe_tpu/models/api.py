@@ -76,7 +76,8 @@ class Context:
         self.params: GateParams = ek.params
         self.backend = backend
         self.mesh = mesh
-        keys = K.prepare_keys(ek)
+        resolved = B.resolve_backend(backend, ek.params)
+        keys = K.prepare_keys(ek, backends=(resolved,))
         self.keys = M.replicate(keys, mesh) if mesh is not None else keys
         self._cache = {}
 

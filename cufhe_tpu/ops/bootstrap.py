@@ -79,8 +79,8 @@ def blind_rotate(a: jnp.ndarray, b: jnp.ndarray, mu: int, keys: DeviceKeys,
         if pad:
             abar = jnp.pad(abar, ((0, pad), (0, 0)))
         B = a.shape[0]
-        bt = B if B < 256 else max(
-            d for d in (256, 128, 64, 32, 16, 8) if B % d == 0)
+        bt = B if B < 1024 else max(
+            d for d in (1024, 512, 256, 128, 64, 32, 16, 8) if B % d == 0)
         return blind_rotate_pallas(acc, abar, keys.bk_wext, params,
                                    b_tile=bt)
 
@@ -88,10 +88,9 @@ def blind_rotate(a: jnp.ndarray, b: jnp.ndarray, mu: int, keys: DeviceKeys,
         a_i = lax.dynamic_index_in_dim(a, i, axis=1, keepdims=False)
         a_bar = _mod_switch(a_i + roundoffset, lp.nbit)
         dec = decompose_rotate_sub(acc, a_bar, lp)
-        bk_i = {
-            "filters": lax.dynamic_index_in_dim(keys.bk_filters, i, 0, False),
-            "limbs": lax.dynamic_index_in_dim(keys.bk_limbs, i, 0, False),
-        }
+        src = keys.bk_limbs if backend == "toeplitz" else keys.bk_filters
+        key = "limbs" if backend == "toeplitz" else "filters"
+        bk_i = {key: lax.dynamic_index_in_dim(src, i, 0, False)}
         return acc + _conv_update(dec, bk_i, params, backend)
 
     return lax.fori_loop(0, n0, body, acc)

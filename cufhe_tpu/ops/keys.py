@@ -32,11 +32,16 @@ class DeviceKeys:
     ksk_limbs:  [NLIMBS, k1*N*t*numbase, k0*n0+1] int8 — flattened KSK with
         contraction index j*(t*numbase) + dig*numbase + m (the reference's
         gather layout, keyswitch_gpu.cuh:68-71, transposed for the MXU).
+    bk_wext:    [n0, 2N, BK_COPIES*G] int8 — pallas pre-rotated band format.
+
+    Only the formats for the requested backends are materialized (the pallas
+    wext is BK_COPIES x the BK size in HBM); absent ones hold a zero-size
+    placeholder so the pytree structure stays static.
     """
     bk_filters: jnp.ndarray
     bk_limbs: jnp.ndarray
     ksk_limbs: jnp.ndarray
-    bk_wext: jnp.ndarray  # [n0, G, 2N] int8 — pallas banded-Toeplitz format
+    bk_wext: jnp.ndarray
 
 
 def prepare_trgsw(trgsw: np.ndarray, params: GateParams) -> dict:
@@ -52,18 +57,31 @@ def prepare_trgsw(trgsw: np.ndarray, params: GateParams) -> dict:
             "limbs": jnp.asarray(nat)}
 
 
-def prepare_keys(ek: EvalKey, device=None) -> DeviceKeys:
+def prepare_keys(ek: EvalKey, device=None,
+                 backends: Optional[tuple] = None) -> DeviceKeys:
     """One-time host-side key conversion + upload (Initialize(ek) analogue,
-    cufhe_gates_gpu.cu:42-47)."""
+    cufhe_gates_gpu.cu:42-47).
+
+    backends: which compute-backend key formats to materialize, e.g.
+    ("pallas",) or ("conv", "toeplitz"). None = all (tests / dryruns).
+    The conv-format BK is always built: CMUX single external products use it
+    regardless of the blind-rotate backend.
+    """
     p = ek.params
     n0 = p.lvl0.dim
     lp = p.lvl1
     kp1 = lp.k + 1
     rows = kp1 * lp.l
+    want = set(backends) if backends is not None else \
+        {"conv", "toeplitz", "pallas"}
+    want.add("conv")
 
     # BK: [n0, rows, k+1, N] u32 -> limbs [n0, rows, k+1, N, L]
     bl = u32_to_signed_limbs(ek.bk)
-    bk_limbs = np.moveaxis(bl, 4, 1)                # [n0, L, rows, k+1, N]
+    if "toeplitz" in want:
+        bk_limbs = np.moveaxis(bl, 4, 1)            # [n0, L, rows, k+1, N]
+    else:
+        bk_limbs = np.zeros((0,), dtype=np.int8)
     # conv filters: [n0, O=(k+1)*L, I=rows, N], reversed along N
     filt = np.moveaxis(bl, 4, 3)                    # [n0, rows, k+1, L, N]
     filt = filt.reshape(n0, rows, kp1 * NLIMBS, lp.n)
@@ -75,8 +93,11 @@ def prepare_keys(ek: EvalKey, device=None) -> DeviceKeys:
     K = d1 * p.ks.t * p.ks.numbase
     ksk_limbs = np.moveaxis(kl, 4, 0).reshape(NLIMBS, K, n0 + 1)
 
-    from .pallas_br import prepare_wext
-    wext = prepare_wext(ek.bk, p)
+    if "pallas" in want:
+        from .pallas_br import prepare_wext
+        wext = prepare_wext(ek.bk, p)
+    else:
+        wext = np.zeros((0,), dtype=np.int8)
 
     put = (lambda x: jax.device_put(jnp.asarray(np.ascontiguousarray(x)),
                                     device)) if device is not None else \

@@ -9,12 +9,14 @@ gatebootstrapping_gpu.cuh:287-314/115-285) for a batch tile:
     double-buffered async DMA per iteration,
   * the negacyclic monomial rotation is a barrel shifter (nbit conditional
     static sublane rolls + one sign select — no gathers),
-  * the external product runs on the MXU as int8 dot products against
-    Toeplitz *bands* generated in VMEM by a log-depth shear (7 conditional
-    rolls turn the broadcast key polynomial into Mt[u, r] = w[(u - r) mod 2N],
-    and every 128-column block of the full Toeplitz operator is a static
-    row window of Mt — the band structure means only ~1/8 of the operator is
-    ever materialized).
+  * the external product runs on the MXU as one *deep* int8 dot per
+    (output component, key limb): Toeplitz bands Mt[u, r] = w[(u - r) mod 2N]
+    are generated in VMEM by a log-depth shear (5 conditional rolls on a
+    packed int32 view), their 128-aligned row windows are assembled into a
+    single [N, I*N] operator, and the decomposed digits (laid out in matching
+    (window, poly, offset) row order) contract against it in one
+    contraction-depth-I*N matmul — minimizing VPU accumulate traffic between
+    MXU calls.
 
 Layout: everything in the kernel is 2-D with the *batch on lanes* and the
 polynomial coefficient axis on sublanes — the layout Mosaic vectorizes
@@ -38,39 +40,31 @@ from ..params import GateParams
 
 U32 = jnp.uint32
 
-#: BK limb format for this kernel: 5 balanced base-2^7 digits. The negacyclic
-#: extension *negates* digits, and -(-128) does not fit int8, so the conv
-#: backend's 4x8-bit limbs are not usable here; -[-64, 63] = [-63, 64] is.
-BK_NLIMBS = 5
-BK_LIMB_BITS = 7
+#: BK limb format for this kernel: 4 balanced base-2^8 digits — the minimum
+#: int8 encoding of a 32-bit torus value. The negacyclic extension *negates*
+#: coefficients, and -(-128) does not fit int8, so prepare_wext negates in
+#: uint32 (mod 2^32) *before* limb decomposition rather than negating digits.
+BK_NLIMBS = 4
+BK_LIMB_BITS = 8
 
-
-def _shear_band_t(base4: jnp.ndarray, width: int) -> jnp.ndarray:
-    """[width, 4] int8 (pre-rotated copies 0..3) -> Mt [width, 128] with
-    Mt[u, r] = base[(u - r) % width].
-
-    Mosaic only rotates 32-bit vectors, so the shear works on a packed view:
-    the 4 pre-rotated int8 copies bitcast to one int32 lane, which is
-    broadcast to 32 lanes; 5 conditional rolls (shifts 4*2^j, selected by
-    bit j of the packed-lane index) complete the per-column rotation, and a
-    bitcast back yields the int8 band with column r rotated down by exactly
-    r = 4*q + c.
-    """
-    M0 = jnp.concatenate([base4] * 32, axis=1)            # [W,128]; col r = copy r%4
-    P = pltpu.bitcast(M0, jnp.int32)                      # [W//4, 128]: 4 rows/word
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (width // 4, 128), 1)
-    for j in range(5):
-        rolled = pltpu.roll(P, 1 << j, axis=0)            # 4*2^j u-steps
-        P = jnp.where(((lanes >> (2 + j)) & 1).astype(jnp.bool_), rolled, P)
-    return pltpu.bitcast(P, jnp.int8)                     # [width, 128]
+#: Pre-rotated copies of each extended key polynomial stored in HBM. The
+#: in-kernel shear that turns a key column into a Toeplitz band needs one
+#: conditional roll per column-index bit not covered by a pre-rotated copy;
+#: 16 copies leave only 3 rolls (bits 4..6 of the 128 band columns) at the
+#: cost of 16x key HBM (~1 GiB at the 128-bit set) and negligible DMA.
+#: (Measured: 32 copies is not faster and doubles key HBM/prep time.)
+BK_COPIES = 16
 
 
 def _make_kernel(params: GateParams):
+    import os
+    _skip = os.environ.get("CUFHE_PALLAS_SKIP", "")  # debug: 'mxu'|'rot'|'shear'
     lp = params.lvl1
     N, nbit, k, l, Bgbit = lp.n, lp.nbit, lp.k, lp.l, lp.Bgbit
     n0 = params.lvl0.dim
     I = (k + 1) * l
-    G = (k + 1) * BK_NLIMBS * I       # polys per iteration in wext
+    C = BK_COPIES
+    G = (k + 1) * BK_NLIMBS * I       # distinct key polys per iteration
     W = 2 * N                          # band width
     R_BLOCKS = N // 128
     off_const = np.uint32((lp.decomp_offset + lp.decomp_roundoffset)
@@ -79,7 +73,7 @@ def _make_kernel(params: GateParams):
     half = np.int32(1 << (Bgbit - 1))
 
     def kernel(abar_ref, acc_in_ref, wext_hbm, out_ref,
-               dec_ref, m_ref, part_ref, wbuf_ref, sem_ref):
+               dec_ref, m_ref, a_ref, wbuf_ref, sem_ref):
         Bt = out_ref.shape[1]
 
         def dma(i, slot):
@@ -90,6 +84,8 @@ def _make_kernel(params: GateParams):
         out_ref[:, :] = acc_in_ref[:, :]
 
         subl = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+        # Band-column index within a poly (loop-invariant select masks).
+        mlane = jax.lax.broadcasted_iota(jnp.int32, (1, I * 128), 1) & 127
 
         def iter_body(i, carry):
             slot = jax.lax.rem(i, 2)
@@ -100,15 +96,40 @@ def _make_kernel(params: GateParams):
 
             dma(i, slot).wait()
 
+            # ---- build all G Toeplitz bands for this iteration, once ----
+            # Each key poly comes as C pre-rotated int8 copies; bitcast packs
+            # 4 sublanes per int32 word so conditional rolls finish the
+            # per-column rotation Mt[u, r] = w[(u - r) mod 2N] with only
+            # log2(128/C) rolls, shared by every (component, limb) dot and
+            # the whole batch tile.
+            if _skip != "shear":
+                Pw = pltpu.bitcast(wbuf_ref[slot], jnp.int32)  # [W/4, C*G]
+                for ol in range((k + 1) * BK_NLIMBS):
+                    cols = []
+                    for j in range(I):
+                        p = ol * I + j
+                        cols.extend([Pw[:, C * p:C * (p + 1)]] * (128 // C))
+                    P = jnp.concatenate(cols, axis=1)       # [W/4, I*128]
+                    b = C
+                    while b < 128:
+                        rolled = pltpu.roll(P, b // 4, axis=0)
+                        P = jnp.where((mlane & b) != 0, rolled, P)
+                        b *= 2
+                    m_ref[:, ol * (I * 128):(ol + 1) * (I * 128)] = \
+                        pltpu.bitcast(P, jnp.int8)
+
             ab = abar_ref[pl.ds(i, 1), :].astype(jnp.int32)   # [1, Bt]
             hi = ((ab >> nbit) & 1).astype(jnp.bool_)
             lo = ab & (N - 1)
 
             # ---- rotate each component by X^abar; decompose digits ----
+            # dec_ref row layout is (R, j, r): digit poly j is scattered into
+            # R_BLOCKS chunks of 128 rows so that the contraction index pairs
+            # with the band-window column order assembled in a_ref below.
             for j in range(k + 1):
                 acc_j = out_ref[j * N:(j + 1) * N, :]     # [N, Bt] uint32
                 x = acc_j
-                for kb in range(nbit):
+                for kb in range(0 if _skip == "rot" else nbit):
                     rolled = pltpu.roll(x, 1 << kb, axis=0)
                     x = jnp.where(((ab >> kb) & 1).astype(jnp.bool_),
                                   rolled, x)
@@ -117,35 +138,40 @@ def _make_kernel(params: GateParams):
                 temp = rot - acc_j + off_const
                 for d in range(l):
                     sh = np.uint32(32 - (d + 1) * Bgbit)
-                    dig = ((temp >> sh) & dmask).astype(jnp.int32) - half
-                    dec_ref[(j * l + d) * N:(j * l + d + 1) * N, :] = \
-                        dig.astype(jnp.int8)
+                    dig8 = (((temp >> sh) & dmask).astype(jnp.int32)
+                            - half).astype(jnp.int8)
+                    r = j * l + d
+                    for R in range(R_BLOCKS):
+                        dec_ref[(R * I + r) * 128:(R * I + r + 1) * 128, :] \
+                            = dig8[128 * R:128 * (R + 1), :]
 
-            # ---- external product: banded Toeplitz MXU dots ----
+            # ---- external product: one deep banded-Toeplitz MXU dot per
+            # (output component, key limb); contraction depth I*N ----
             for o in range(k + 1):
                 upd = jnp.zeros((N, Bt), jnp.uint32)
                 for li in range(BK_NLIMBS):
-                    part_ref[:, :] = jnp.zeros((N, Bt), jnp.int32)
-                    for j in range(I):
-                        p = (o * BK_NLIMBS + li) * I + j
-                        m_ref[:, :] = _shear_band_t(
-                            wbuf_ref[slot, :, 4 * p:4 * p + 4], W)
+                    ol = o * BK_NLIMBS + li
+                    if _skip != "shear":
                         for R in range(R_BLOCKS):
-                            row0 = N - 1 - 128 * R
-                            part_ref[:, :] += jax.lax.dot_general(
-                                m_ref[row0:row0 + N, :],
-                                dec_ref[j * N + 128 * R:
-                                        j * N + 128 * (R + 1), :],
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.int32)
-                    upd = upd + (part_ref[:, :].astype(jnp.uint32)
+                            a_ref[:, R * (I * 128):(R + 1) * (I * 128)] = \
+                                m_ref[N - 128 * R:2 * N - 128 * R,
+                                      ol * (I * 128):(ol + 1) * (I * 128)]
+                    if _skip == "mxu":
+                        p32 = jnp.zeros((N, Bt), jnp.int32)
+                    else:
+                        p32 = jax.lax.dot_general(
+                            a_ref[:, :], dec_ref[:, :],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+                    upd = upd + (p32.astype(jnp.uint32)
                                  << np.uint32(BK_LIMB_BITS * li))
                 out_ref[o * N:(o + 1) * N, :] += upd
             return carry
 
         jax.lax.fori_loop(0, n0, iter_body, 0)
 
-    return kernel, dict(N=N, n0=n0, k=k, I=I, G=G, W=W)
+    return kernel, dict(N=N, n0=n0, k=k, I=I, G=G, W=W,
+                        R_BLOCKS=R_BLOCKS)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "b_tile"))
@@ -191,9 +217,9 @@ def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((KP1N, B), jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((I * N, bt), jnp.int8),       # dec
-            pltpu.VMEM((W, 128), jnp.int8),          # Toeplitz band Mt
-            pltpu.VMEM((N, bt), jnp.int32),          # partial accumulator
+            pltpu.VMEM((I * N, bt), jnp.int8),       # dec, (R, j, r) rows
+            pltpu.VMEM((W, G * 128), jnp.int8),      # all Toeplitz bands
+            pltpu.VMEM((N, I * N), jnp.int8),        # assembled band windows
             pltpu.VMEM((2, W, wext.shape[2]), jnp.int8),  # BK double buffer
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -212,28 +238,33 @@ def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
 def prepare_wext(bk: np.ndarray, params: GateParams) -> np.ndarray:
     """BK [n0, (k+1)l, k+1, N] uint32 -> wext [n0, 2N, 4G] int8 (transposed).
 
-    Column 4p+c holds the negacyclic-extended, limb-decomposed key polynomial
-    (index-u entry wneg[u - (N-1)]) pre-rotated down by c — the low 2 bits of
-    the in-kernel shear, pre-applied so the kernel can rotate the packed
-    int32 view (see _shear_band_t).
+    Column C*p+c (C = BK_COPIES) holds the negacyclic-extended,
+    limb-decomposed key polynomial (index-u entry wneg[u - N], so band
+    windows start at 128-aligned rows) pre-rotated down by c — the low
+    log2(C) bits of the in-kernel shear, pre-applied so the kernel finishes
+    the per-column rotation with only log2(128/C) packed-int32 rolls.
+
+    The negacyclic extension is built in uint32 (negation mod 2^32) *before*
+    balanced limb decomposition: the limbed columns then sum back to the
+    extended value exactly mod 2^32, and every digit fits int8 with only 4
+    limbs (negating digits post-decomposition would overflow at -(-128)).
     """
     from .limbs import u32_to_signed_limbs
 
     n0, I, kp1, N = bk.shape
-    limbs = u32_to_signed_limbs(bk, nlimbs=BK_NLIMBS, bits=BK_LIMB_BITS)
-    assert limbs.min() >= -64 and limbs.max() <= 63
+    C = BK_COPIES
+    ext = np.empty((n0, I, kp1, 2 * N), dtype=np.uint32)
+    ext[..., :N] = np.zeros_like(bk) - bk
+    ext[..., N:] = bk
+    limbs = u32_to_signed_limbs(ext, nlimbs=BK_NLIMBS, bits=BK_LIMB_BITS)
     G = kp1 * BK_NLIMBS * I
-    gp = -(-(4 * G) // 128) * 128      # lane-align for DMA
+    gp = -(-(C * G) // 128) * 128      # lane-align for DMA
     wext = np.zeros((n0, 2 * N, gp), dtype=np.int8)
-    base = np.zeros((n0, 2 * N), dtype=np.int8)
     for o in range(kp1):
         for li in range(BK_NLIMBS):
             for j in range(I):
                 p = (o * BK_NLIMBS + li) * I + j
-                poly = limbs[:, j, o, :, li]        # [n0, N]
-                base[:, :N - 1] = -poly[:, 1:]
-                base[:, N - 1:2 * N - 1] = poly
-                base[:, 2 * N - 1] = 0
-                for c in range(4):
-                    wext[:, :, 4 * p + c] = np.roll(base, c, axis=1)
+                base = limbs[:, j, o, :, li]        # [n0, 2N]
+                for c in range(C):
+                    wext[:, :, C * p + c] = np.roll(base, c, axis=1)
     return wext

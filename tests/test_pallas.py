@@ -57,7 +57,7 @@ def test_pallas_full_gate_bitexact(pallas_key, rng):
 def test_wext_prep_roundtrip(pallas_key):
     """wext column 4p+c is the c-rotated negacyclic extension of the limb
     polynomial, and limbs recombine to the original BK mod 2^32."""
-    from cufhe_tpu.ops.pallas_br import (BK_LIMB_BITS, BK_NLIMBS,
+    from cufhe_tpu.ops.pallas_br import (BK_COPIES, BK_LIMB_BITS, BK_NLIMBS,
                                          prepare_wext)
     _, ek = pallas_key
     p = ek.params
@@ -68,9 +68,10 @@ def test_wext_prep_roundtrip(pallas_key):
     rec = np.zeros(N, dtype=np.int64)
     for li in range(BK_NLIMBS):
         col = (0 * BK_NLIMBS + li) * I + 0
-        poly = w[0, N - 1:2 * N - 1, 4 * col].astype(np.int64)
+        poly = w[0, N:2 * N, BK_COPIES * col].astype(np.int64)
         rec += poly << (BK_LIMB_BITS * li)
         # pre-rotated copies match np.roll
-        assert np.array_equal(w[0, :, 4 * col + 3],
-                              np.roll(w[0, :, 4 * col], 3))
+        for c in (1, 3, BK_COPIES - 1):
+            assert np.array_equal(w[0, :, BK_COPIES * col + c],
+                                  np.roll(w[0, :, BK_COPIES * col], c))
     assert np.array_equal(rec.astype(np.uint32), ek.bk[0, 0, 0])
