@@ -1,0 +1,10 @@
+"""Native runtime: circuit graph builder + level scheduler (C++ core),
+batched schedule executor, and stream-style async shims."""
+from .executor import run_schedule, trivial_ciphertext
+from .graph import (CircuitBuilder, OPCODES, Schedule, build_ripple_adder,
+                    native_available)
+from .stream import Stream, stream_query, synchronize
+
+__all__ = ["CircuitBuilder", "OPCODES", "Schedule", "build_ripple_adder",
+           "native_available", "run_schedule", "trivial_ciphertext",
+           "Stream", "stream_query", "synchronize"]

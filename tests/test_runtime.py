@@ -1,0 +1,139 @@
+"""Native C++ circuit scheduler + batched executor + stream shims.
+
+Covers the runtime layer the reference leaves to callers: DAG building,
+dead-code elimination, ASAP levelization, opcode grouping (native and the
+pure-Python fallback must agree), end-to-end encrypted circuit execution vs
+a plaintext oracle, and stream completion-polling semantics
+(reference test_intensive.cc:21-54 pattern).
+"""
+import numpy as np
+import pytest
+
+from cufhe_tpu import golden as G
+from cufhe_tpu.models import Context, Ctxt, decrypt_bits, encrypt_bits
+from cufhe_tpu.runtime import (CircuitBuilder, Stream, build_ripple_adder,
+                               native_available, run_schedule, stream_query,
+                               synchronize, trivial_ciphertext)
+
+
+def test_native_library_builds():
+    assert native_available(), "C++ scheduler must build in this environment"
+
+
+@pytest.mark.parametrize("force_python", [False, True])
+def test_schedule_levels_and_dce(force_python):
+    cb = CircuitBuilder(force_python=force_python)
+    a, b, c = cb.input(), cb.input(), cb.input()
+    x = cb.gate("and", a, b)          # level 1
+    y = cb.gate("xor", x, c)          # level 2
+    dead = cb.gate("or", a, b)        # dead: not reachable from outputs
+    z = cb.gate("nand", x, y)         # level 3
+    cb.output(z)
+    s = cb.compile()
+    assert s.num_gates == 3           # `dead` eliminated
+    assert [sorted(op for op, _ in lvl) for lvl in s.levels] == \
+        [["and"], ["xor"], ["nand"]]
+    assert s.outputs == [z]
+    assert s.inputs == [a, b, c]
+    del dead
+
+
+def test_native_and_python_schedules_agree():
+    def build(fp):
+        cb, wires = build_ripple_adder(4, force_python=fp)
+        return cb.compile()
+    sn, sp = build(False), build(True)
+    assert sn.num_wires == sp.num_wires
+    assert sn.num_levels == sp.num_levels
+    assert sn.outputs == sp.outputs
+    for ln, lp in zip(sn.levels, sp.levels):
+        assert {op: sorted(g) for op, g in ln} == \
+            {op: sorted(g) for op, g in lp}
+
+
+def test_same_level_gate_grouping():
+    """8 independent NANDs must schedule as one level-1 group of 8."""
+    cb = CircuitBuilder()
+    ins = [(cb.input(), cb.input()) for _ in range(8)]
+    for a, b in ins:
+        cb.output(cb.gate("nand", a, b))
+    s = cb.compile()
+    assert s.num_levels == 1          # one gate level (inputs are level 0)
+    (op, quads), = s.levels[0]
+    assert op == "nand" and len(quads) == 8
+
+
+def test_mux_and_const_wires(tiny_key, rng):
+    sk, ek = tiny_key
+    ctx = Context(ek)
+    cb = CircuitBuilder()
+    sel, x = cb.input(), cb.input()
+    one = cb.const(1)
+    # out = sel ? x : 1
+    cb.output(cb.gate("mux", sel, x, one))
+    s = cb.compile()
+    B = 4
+    sel_bits = np.array([0, 1, 0, 1])
+    x_bits = np.array([0, 0, 1, 1])
+    outs = run_schedule(ctx, s, [encrypt_bits(sel_bits, sk, rng),
+                                 encrypt_bits(x_bits, sk, rng)])
+    got = decrypt_bits(outs[0], sk)
+    want = np.where(sel_bits == 1, x_bits, 1)
+    assert np.array_equal(got, want)
+
+
+def test_ripple_adder_end_to_end(tiny_key, rng):
+    """4-bit adder over an encrypted batch vs plaintext addition."""
+    sk, ek = tiny_key
+    ctx = Context(ek)
+    nbits, B = 4, 3
+    cb, wires = build_ripple_adder(nbits)
+    s = cb.compile()
+    a_vals = rng.integers(0, 1 << nbits, B)
+    b_vals = rng.integers(0, 1 << nbits, B)
+    enc = []
+    for i in range(nbits):
+        enc.append(encrypt_bits((a_vals >> i) & 1, sk, rng))
+    for i in range(nbits):
+        enc.append(encrypt_bits((b_vals >> i) & 1, sk, rng))
+    enc.append(encrypt_bits(np.zeros(B, dtype=int), sk, rng))  # cin
+    outs = run_schedule(ctx, s, enc)
+    got = np.zeros(B, dtype=int)
+    for i, out in enumerate(outs):        # nbits sum bits + carry
+        got += decrypt_bits(out, sk).astype(int) << i
+    assert np.array_equal(got, a_vals + b_vals)
+
+
+def test_trivial_ciphertext_decrypts_under_any_key(tiny_key):
+    sk, ek = tiny_key
+    p = ek.params
+    ct = np.asarray(trivial_ciphertext(1, p.lvl0.dim, p.lvl0.mu, 2))
+    assert G.decrypt_bit(ct[0], sk) == 1
+    ct0 = np.asarray(trivial_ciphertext(0, p.lvl0.dim, p.lvl0.mu, 2))
+    assert G.decrypt_bit(ct0[0], sk) == 0
+
+
+def test_stream_query_and_synchronize(tiny_key, rng):
+    """Completion-polling scheduler pattern (test_intensive analogue):
+    chain ops on streams, poll StreamQuery, launch next the moment idle."""
+    sk, ek = tiny_key
+    ctx = Context(ek)
+    n_streams, chain = 4, 3
+    bits = rng.integers(0, 2, n_streams)
+    streams = [Stream() for _ in range(n_streams)]
+    cts = [encrypt_bits([b], sk, rng) for b in bits]
+    depth = [0] * n_streams
+    # poll-driven chaining: out = NAND(out, out) repeatedly
+    while min(depth) < chain:
+        for i, st in enumerate(streams):
+            if depth[i] < chain and stream_query(st):
+                cts[i] = ctx.nand(cts[i], cts[i])
+                st.record(cts[i])
+                depth[i] += 1
+    synchronize(*streams)
+    for i, b in enumerate(bits):
+        want = int(b)
+        for _ in range(chain):
+            want = 1 - (want & want)
+        assert decrypt_bits(cts[i], sk)[0] == want
+    synchronize()  # global form runs without error
