@@ -72,8 +72,9 @@ def blind_rotate(a: jnp.ndarray, b: jnp.ndarray, mu: int, keys: DeviceKeys,
     acc = batched_test_vector(bar, mu, lp)
     roundoffset = U32(1 << (32 - 2 - lp.nbit))
 
-    if backend == "pallas":
-        from .pallas_br import blind_rotate_pallas
+    if backend.startswith("pallas"):
+        from .pallas_br import BK_NLIMBS, blind_rotate_pallas
+        nlimbs = 3 if backend == "pallas3" else BK_NLIMBS
         abar = _mod_switch(a + roundoffset, lp.nbit).T    # [n0, B]
         pad = (-n0) % 8
         if pad:
@@ -82,7 +83,7 @@ def blind_rotate(a: jnp.ndarray, b: jnp.ndarray, mu: int, keys: DeviceKeys,
         bt = B if B < 1024 else max(
             d for d in (1024, 512, 256, 128, 64, 32, 16, 8) if B % d == 0)
         return blind_rotate_pallas(acc, abar, keys.bk_wext, params,
-                                   b_tile=bt)
+                                   b_tile=bt, nlimbs=nlimbs)
 
     def body(i, acc):
         a_i = lax.dynamic_index_in_dim(a, i, axis=1, keepdims=False)

@@ -93,9 +93,11 @@ def prepare_keys(ek: EvalKey, device=None,
     K = d1 * p.ks.t * p.ks.numbase
     ksk_limbs = np.moveaxis(kl, 4, 0).reshape(NLIMBS, K, n0 + 1)
 
-    if "pallas" in want:
+    if "pallas" in want or "pallas3" in want:
         from .pallas_br import prepare_wext
-        wext = prepare_wext(ek.bk, p)
+        if "pallas" in want and "pallas3" in want:
+            raise ValueError("choose one pallas key precision per Context")
+        wext = prepare_wext(ek.bk, p, nlimbs=3 if "pallas3" in want else 4)
     else:
         wext = np.zeros((0,), dtype=np.int8)
 

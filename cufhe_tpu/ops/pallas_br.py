@@ -40,10 +40,18 @@ from ..params import GateParams
 
 U32 = jnp.uint32
 
-#: BK limb format for this kernel: 4 balanced base-2^8 digits — the minimum
-#: int8 encoding of a 32-bit torus value. The negacyclic extension *negates*
-#: coefficients, and -(-128) does not fit int8, so prepare_wext negates in
-#: uint32 (mod 2^32) *before* limb decomposition rather than negating digits.
+#: BK limb format for this kernel: balanced base-2^8 digits; 4 limbs is the
+#: minimum int8 encoding of a full 32-bit torus value (bit-exact mode). The
+#: negacyclic extension *negates* coefficients, and -(-128) does not fit
+#: int8, so prepare_wext negates in uint32 (mod 2^32) *before* limb
+#: decomposition rather than negating digits.
+#:
+#: 3 limbs ("pallas3" backend) keeps only the top 24 BK bits — the analogue
+#: of the reference's USE_SMALL_NTT_MODULUS 29-bit discretization
+#: (ntt_small_modulus.cuh:40-73): ~25% less MXU work, key HBM and band
+#: traffic, at the cost of extra noise of std ~2^21 on the 2^32 torus
+#: (~8% variance on top of the inherent blind-rotation noise at the 128-bit
+#: set; >100 sigma of decryption margin). Not bit-exact vs the golden model.
 BK_NLIMBS = 4
 BK_LIMB_BITS = 8
 
@@ -56,7 +64,7 @@ BK_LIMB_BITS = 8
 BK_COPIES = 16
 
 
-def _make_kernel(params: GateParams):
+def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS):
     import os
     _skip = os.environ.get("CUFHE_PALLAS_SKIP", "")  # debug: 'mxu'|'rot'|'shear'
     lp = params.lvl1
@@ -64,7 +72,8 @@ def _make_kernel(params: GateParams):
     n0 = params.lvl0.dim
     I = (k + 1) * l
     C = BK_COPIES
-    G = (k + 1) * BK_NLIMBS * I       # distinct key polys per iteration
+    drop = BK_NLIMBS - nlimbs         # low limbs dropped ('pallas3' mode)
+    G = (k + 1) * nlimbs * I          # distinct key polys per iteration
     W = 2 * N                          # band width
     R_BLOCKS = N // 128
     off_const = np.uint32((lp.decomp_offset + lp.decomp_roundoffset)
@@ -104,7 +113,7 @@ def _make_kernel(params: GateParams):
             # the whole batch tile.
             if _skip != "shear":
                 Pw = pltpu.bitcast(wbuf_ref[slot], jnp.int32)  # [W/4, C*G]
-                for ol in range((k + 1) * BK_NLIMBS):
+                for ol in range((k + 1) * nlimbs):
                     cols = []
                     for j in range(I):
                         p = ol * I + j
@@ -149,8 +158,8 @@ def _make_kernel(params: GateParams):
             # (output component, key limb); contraction depth I*N ----
             for o in range(k + 1):
                 upd = jnp.zeros((N, Bt), jnp.uint32)
-                for li in range(BK_NLIMBS):
-                    ol = o * BK_NLIMBS + li
+                for li in range(nlimbs):
+                    ol = o * nlimbs + li
                     if _skip != "shear":
                         for R in range(R_BLOCKS):
                             a_ref[:, R * (I * 128):(R + 1) * (I * 128)] = \
@@ -164,7 +173,7 @@ def _make_kernel(params: GateParams):
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
                     upd = upd + (p32.astype(jnp.uint32)
-                                 << np.uint32(BK_LIMB_BITS * li))
+                                 << np.uint32(BK_LIMB_BITS * (li + drop)))
                 out_ref[o * N:(o + 1) * N, :] += upd
             return carry
 
@@ -174,10 +183,12 @@ def _make_kernel(params: GateParams):
                         R_BLOCKS=R_BLOCKS)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "b_tile"))
+@functools.partial(jax.jit,
+                   static_argnames=("params", "b_tile", "nlimbs"))
 def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
                         wext: jnp.ndarray, params: GateParams,
-                        b_tile: int = 256) -> jnp.ndarray:
+                        b_tile: int = 256,
+                        nlimbs: int = BK_NLIMBS) -> jnp.ndarray:
     """Run the fused blind rotation.
 
     acc_init: [B, k+1, N] uint32 — rotated test vector (batched_test_vector).
@@ -191,7 +202,7 @@ def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
         raise NotImplementedError("pallas backend requires Bgbit <= 8")
     if lp.n % 128:
         raise NotImplementedError("pallas backend requires N % 128 == 0")
-    kernel, dims = _make_kernel(params)
+    kernel, dims = _make_kernel(params, nlimbs)
     B = acc_init.shape[0]
     bt = min(b_tile, B)
     assert B % bt == 0, (B, bt)
@@ -235,7 +246,8 @@ def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
 # Key preparation for this kernel
 # ---------------------------------------------------------------------------
 
-def prepare_wext(bk: np.ndarray, params: GateParams) -> np.ndarray:
+def prepare_wext(bk: np.ndarray, params: GateParams,
+                 nlimbs: int = BK_NLIMBS) -> np.ndarray:
     """BK [n0, (k+1)l, k+1, N] uint32 -> wext [n0, 2N, 4G] int8 (transposed).
 
     Column C*p+c (C = BK_COPIES) holds the negacyclic-extended,
@@ -257,14 +269,15 @@ def prepare_wext(bk: np.ndarray, params: GateParams) -> np.ndarray:
     ext[..., :N] = np.zeros_like(bk) - bk
     ext[..., N:] = bk
     limbs = u32_to_signed_limbs(ext, nlimbs=BK_NLIMBS, bits=BK_LIMB_BITS)
-    G = kp1 * BK_NLIMBS * I
+    drop = BK_NLIMBS - nlimbs          # keep only the top `nlimbs` limbs
+    G = kp1 * nlimbs * I
     gp = -(-(C * G) // 128) * 128      # lane-align for DMA
     wext = np.zeros((n0, 2 * N, gp), dtype=np.int8)
     for o in range(kp1):
-        for li in range(BK_NLIMBS):
+        for li in range(nlimbs):
             for j in range(I):
-                p = (o * BK_NLIMBS + li) * I + j
-                base = limbs[:, j, o, :, li]        # [n0, 2N]
+                p = (o * nlimbs + li) * I + j
+                base = limbs[:, j, o, :, drop + li]  # [n0, 2N]
                 for c in range(C):
                     wext[:, :, C * p + c] = np.roll(base, c, axis=1)
     return wext

@@ -75,3 +75,22 @@ def test_wext_prep_roundtrip(pallas_key):
             assert np.array_equal(w[0, :, BK_COPIES * col + c],
                                   np.roll(w[0, :, BK_COPIES * col], c))
     assert np.array_equal(rec.astype(np.uint32), ek.bk[0, 0, 0])
+
+
+def test_pallas3_reduced_precision_gate(pallas_key, rng):
+    """'pallas3' fast path (top-24-bit BK, the small-modulus analogue):
+    not bit-exact, but must decrypt correctly — the added noise is far
+    inside the decryption margin."""
+    from cufhe_tpu.ops import keys as K2
+    sk, ek = pallas_key
+    p = sk.params
+    keys3 = K2.prepare_keys(ek, backends=("pallas3",))
+    bits0, bits1 = [0, 1, 0, 1], [0, 0, 1, 1]
+    c0 = [G.encrypt_bit(b, sk, rng) for b in bits0]
+    c1 = [G.encrypt_bit(b, sk, rng) for b in bits1]
+    got = np.asarray(B.gate_lvl0(G.GATE_CONSTANTS["nand"],
+                                 jnp.asarray(np.stack(c0)),
+                                 jnp.asarray(np.stack(c1)), keys3, p,
+                                 backend="pallas3"))
+    assert [G.decrypt_bit(g, sk) for g in got] == \
+        [1 - (a & b) for a, b in zip(bits0, bits1)]
