@@ -8,4 +8,4 @@ MXU contractions on signed-byte limb decompositions of the keys. This is
 bit-identical to the reference's large-modulus path (which also computes the
 exact integer convolution, via NTT) and keeps the hot loop on the MXU.
 """
-from . import keys, keyswitch, limbs, poly, bootstrap  # noqa: F401
+from . import keys, keyswitch, limbs, ntt, poly, bootstrap  # noqa: F401
