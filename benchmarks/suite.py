@@ -1,0 +1,179 @@
+"""Full benchmark suite — the analogue of the reference's benchmark binaries:
+
+  gates    all 10 two-input bootstrapped gates + Mux/NMux + Not/Copy,
+           both ciphertext levels      (reference test_gate_gpu.cc:42-83)
+  refresh  TRLWE->TRLWE noise refresh  (reference test_perf.cc:18-87)
+  cmux     TRGSW-select on TRLWE pairs (reference test_cmux.cc:42-126)
+  kernels  blind-rotate-only and keyswitch-only microbenchmarks
+
+Each section verifies decryptions against the plaintext oracles
+(reference test/plain.h) before reporting. Writes one JSON object per
+measurement to benchmarks/results.jsonl and prints a table.
+
+Usage: python benchmarks/suite.py [--batch 1024] [--iters 2]
+            [--backend auto] [--params tfhepp_128bit]
+            [--sections gates,mux,linear,refresh,cmux,kernels]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed(fn, iters):
+    import jax
+    out = fn()                       # warmup / compile
+    np.asarray(jax.device_get(out if not isinstance(out, tuple) else out[0]))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    np.asarray(jax.device_get(out if not isinstance(out, tuple) else out[0]))
+    return (time.perf_counter() - t0) / iters, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--backend", default="auto")
+    ap.add_argument("--params", default="tfhepp_128bit")
+    ap.add_argument("--sections", default="gates,mux,linear,refresh,cmux,kernels")
+    args = ap.parse_args()
+    sections = set(args.sections.split(","))
+
+    import jax
+    import jax.numpy as jnp
+
+    from cufhe_tpu import PRESETS, golden as G
+    from cufhe_tpu.models import Context
+    from cufhe_tpu.models.api import TrlweCtxt, decrypt_bits, encrypt_bits
+    from cufhe_tpu.utils import serialization as S
+
+    params = PRESETS[args.params]
+    here = os.path.dirname(os.path.abspath(__file__))
+    cache = os.path.join(os.path.dirname(here),
+                         f".bench_keys_{params.name}.npz")
+    sk_cache = cache.replace("keys", "sk")
+    if os.path.exists(cache) and os.path.exists(sk_cache):
+        ek, sk = S.load_eval_key(cache), S.load_secret_key(sk_cache)
+    else:
+        print(f"generating {params.name} keys (one-time)...", file=sys.stderr)
+        sk = G.keygen(params, seed=0)
+        ek = G.make_eval_key(sk, seed=1)
+        S.save_eval_key(cache, ek)
+        S.save_secret_key(sk_cache, sk)
+
+    ctx = Context(ek, backend=args.backend)
+    rng = np.random.default_rng(7)
+    B = args.batch
+    dev = str(jax.devices()[0])
+    results = []
+    out_path = os.path.join(here, "results.jsonl")
+
+    def report(section, name, dt, ops, errors, level=None):
+        rec = {"section": section, "name": name, "ops_per_sec":
+               round(ops / dt, 2), "ms_per_batch": round(dt * 1e3, 3),
+               "batch": ops, "errors": int(errors), "backend": args.backend,
+               "params": params.name, "device": dev}
+        if level is not None:
+            rec["level"] = level
+        results.append(rec)
+        with open(out_path, "a") as f:   # incremental: survive crashes
+            f.write(json.dumps(rec) + "\n")
+        print(f"{section:8s} {name:8s} lvl{level if level is not None else '-'}"
+              f"  {rec['ops_per_sec']:>10.1f} ops/s   "
+              f"{rec['ms_per_batch']:>9.2f} ms/batch   errors={errors}")
+
+    bits0 = rng.integers(0, 2, B)
+    bits1 = rng.integers(0, 2, B)
+    bits2 = rng.integers(0, 2, B)
+
+    if "gates" in sections:
+        for level in (0, 1):
+            a = encrypt_bits(bits0, sk, rng, level=level)
+            b = encrypt_bits(bits1, sk, rng, level=level)
+            for name in G.GATE_CONSTANTS:
+                dt, out = timed(lambda: ctx.gate(name, a, b), args.iters)
+                got = decrypt_bits(out, sk)
+                want = G.PLAIN_GATES[name](bits0, bits1)
+                report("gates", name, dt, B, np.sum(got != want), level)
+
+    if "mux" in sections:
+        for level in (0, 1):
+            c = encrypt_bits(bits2, sk, rng, level=level)
+            a = encrypt_bits(bits0, sk, rng, level=level)
+            b = encrypt_bits(bits1, sk, rng, level=level)
+            for name, neg in (("mux", False), ("nmux", True)):
+                dt, out = timed(lambda: ctx.mux(c, a, b, negate=neg),
+                                args.iters)
+                got = decrypt_bits(out, sk)
+                want = np.where(bits2 == 1, bits0, bits1)
+                if neg:
+                    want = 1 - want
+                report("mux", name, dt, B, np.sum(got != want), level)
+
+    if "linear" in sections:
+        a = encrypt_bits(bits0, sk, rng)
+        dt, out = timed(lambda: ctx.not_(a), max(args.iters, 10))
+        report("linear", "not", dt, B,
+               np.sum(decrypt_bits(out, sk) != 1 - bits0), 0)
+
+    if "refresh" in sections:
+        # test_perf analogue: refresh a batch of TRLWEs carrying test bits
+        a = encrypt_bits(bits0, sk, rng)
+        tr = ctx.bootstrap_tlwe2trlwe(a)
+        dt, out = timed(lambda: ctx.refresh(tr), args.iters)
+        got = np.array([G.trlwe_phase(np.asarray(t), params.lvl1, sk.lvl1)[0]
+                        for t in np.asarray(jax.device_get(out.data))])
+        errors = np.sum((got.astype(np.int32) > 0) != bits0)
+        report("refresh", "refresh", dt, B, errors)
+
+    if "cmux" in sections:
+        plain1 = rng.integers(0, 2, params.lvl1.n)
+        trgsw1 = G.trgsw_encrypt(1, params.lvl1, sk.lvl1, rng)
+        tg = ctx.prepare_trgsw(trgsw1)
+        c1 = np.stack([G.trlwe_encrypt_bits(plain1, params.lvl1, sk.lvl1,
+                                            rng) for _ in range(B // 8)])
+        c0 = np.stack([G.trlwe_encrypt_bits(1 - plain1, params.lvl1, sk.lvl1,
+                                            rng) for _ in range(B // 8)])
+        c1j, c0j = jnp.asarray(c1), jnp.asarray(c0)
+        dt, out = timed(lambda: ctx.cmux(tg, TrlweCtxt(c1j), TrlweCtxt(c0j)),
+                        args.iters)
+        ph = G.trlwe_phase(np.asarray(jax.device_get(out.data))[0],
+                           params.lvl1, sk.lvl1)
+        errors = np.sum((ph.astype(np.int32) > 0) != plain1)
+        report("cmux", "cmux", dt, B // 8, errors)
+
+    if "kernels" in sections:
+        from cufhe_tpu.ops import bootstrap as BS
+        from cufhe_tpu.ops.keyswitch import key_switch
+        a = encrypt_bits(bits0, sk, rng)
+        import jax as _j
+        # keys must be *arguments*, not closed-over constants, or they get
+        # baked into the HLO as literals
+        br = _j.jit(lambda x, k: BS.bootstrap_tlwe2trlwe(
+            x, params.lvl1.mu, k, params, args.backend))
+        dt, _ = timed(lambda: br(a.data, ctx.keys), args.iters)
+        report("kernels", "blindrot", dt, B, 0)
+        d1 = params.lvl1.k * params.lvl1.n
+        tl = jnp.asarray(rng.integers(0, 1 << 32, size=(B, d1 + 1),
+                                      dtype=np.uint64).astype(np.uint32))
+        ks = _j.jit(lambda x, kl: key_switch(x, kl, params))
+        dt, _ = timed(lambda: ks(tl, ctx.keys.ksk_limbs), args.iters)
+        report("kernels", "keyswitch", dt, B, 0)
+
+    total_err = sum(r["errors"] for r in results)
+    print(f"\n{len(results)} measurements -> {out_path}; "
+          f"total errors: {total_err}")
+    return 1 if total_err else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

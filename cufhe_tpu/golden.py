@@ -124,6 +124,16 @@ def trlwe_encrypt_zero(p: TrlweParams, key: np.ndarray,
     return np.concatenate([a, b[None, :]], axis=0)
 
 
+def trlwe_encrypt_bits(bits: np.ndarray, p: TrlweParams, key: np.ndarray,
+                       rng: np.random.Generator) -> np.ndarray:
+    """TRLWE encryption of N bits packed into slots as ±mu (the message form
+    used by the reference CMUX test, test_cmux.cc:82-141)."""
+    ct = trlwe_encrypt_zero(p, key, rng)
+    msg = np.where(np.asarray(bits) == 1, p.mu, (-p.mu) % _MOD)
+    ct[p.k] = _u32(ct[p.k].astype(np.int64) + msg.astype(np.int64))
+    return ct
+
+
 def trlwe_phase(ct: np.ndarray, p: TrlweParams, key: np.ndarray) -> np.ndarray:
     acc = ct[p.k].astype(np.int64).copy()
     for j in range(p.k):

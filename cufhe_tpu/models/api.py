@@ -94,22 +94,27 @@ class Context:
 
     # -- two-input gates --------------------------------------------------
     def gate(self, name: str, in0: Ctxt, in1: Ctxt) -> Ctxt:
-        """Evaluate one of the 10 bootstrapped two-input gates on a batch."""
+        """Evaluate one of the 10 bootstrapped two-input gates on a batch.
+
+        The gate's linear-combination constants are runtime uint32 operands,
+        so all ten gates share ONE compiled program per (level, batch shape)
+        — unlike the reference's per-gate template instantiations
+        (bootstrap_gpu.cu:424-512), XLA need not re-specialize.
+        """
         if name not in GATE_CONSTANTS:
             raise ValueError(f"unknown gate {name!r}; "
                              f"choose from {sorted(GATE_CONSTANTS)}")
         if in0.level != in1.level:
             raise ValueError("gate inputs must share a level")
-        consts = GATE_CONSTANTS[name]
         level = in0.level
         p, bk = self.params, self.backend
-        if level == 0:
-            fn = functools.partial(B.gate_lvl0, consts, params=p, backend=bk)
-        else:
-            fn = functools.partial(B.gate_lvl1, consts, params=p, backend=bk)
-        prog = self._jit(("gate", name, level),
-                         lambda a, b, keys: fn(a, b, keys=keys))
-        return Ctxt(prog(self._shard(in0.data), self._shard(in1.data),
+        mu = p.lvl0.mu if level == 0 else p.lvl1.mu
+        c3 = B.encode_gate_consts(GATE_CONSTANTS[name], mu)
+        fn = B.gate_lvl0 if level == 0 else B.gate_lvl1
+        prog = self._jit(("gate", level),
+                         lambda c, a, b, keys: fn(c, a, b, keys=keys,
+                                                  params=p, backend=bk))
+        return Ctxt(prog(c3, self._shard(in0.data), self._shard(in1.data),
                          self.keys), level)
 
     def mux(self, inc: Ctxt, in1: Ctxt, in0: Ctxt,

@@ -56,3 +56,58 @@ def select_word(ctx: Context, sel: Ctxt, a: Sequence[Ctxt],
                 b: Sequence[Ctxt]) -> List[Ctxt]:
     """sel ? a : b, bitwise Mux."""
     return [ctx.mux(sel, ai, bi) for ai, bi in zip(a, b)]
+
+
+def ripple_carry_sub(ctx: Context, a: Sequence[Ctxt], b: Sequence[Ctxt]
+                     ) -> tuple[List[Ctxt], Ctxt]:
+    """a - b via two's complement: a + ~b + 1. Returns (diff bits, borrow-out
+    complement: 1 iff a >= b)."""
+    assert len(a) == len(b)
+    out = []
+    c: Ctxt = None  # type: ignore
+    for i, (ai, bi) in enumerate(zip(a, b)):
+        nb = ctx.not_(bi)
+        if i == 0:
+            # carry-in = 1: sum = a ^ ~b ^ 1 = xnor; carry = a | ~b
+            out.append(ctx.xnor(ai, nb))
+            c = ctx.or_(ai, nb)
+        else:
+            s1 = ctx.xor(ai, nb)
+            out.append(ctx.xor(s1, c))
+            c = ctx.or_(ctx.and_(ai, nb), ctx.and_(s1, c))
+    return out, c
+
+
+def less_than(ctx: Context, a: Sequence[Ctxt], b: Sequence[Ctxt]) -> Ctxt:
+    """Encrypted unsigned a < b (1 iff a < b): NOT of the subtractor's
+    carry-out."""
+    _, geq = ripple_carry_sub(ctx, a, b)
+    return ctx.not_(geq)
+
+
+def popcount(ctx: Context, bits: Sequence[Ctxt]) -> List[Ctxt]:
+    """Population count of encrypted bits via a carry-save adder tree;
+    returns the count LSB-first (ceil(log2(n+1)) output bits)."""
+    weights: List[List[Ctxt]] = [list(bits)]
+    out: List[Ctxt] = []
+    w = 0
+    while w < len(weights):
+        cur = weights[w]
+
+        def carry_to(c: Ctxt) -> None:
+            if w + 1 == len(weights):
+                weights.append([])
+            weights[w + 1].append(c)
+
+        while len(cur) >= 3:
+            x, y, z = cur.pop(), cur.pop(), cur.pop()
+            s, c = full_adder(ctx, x, y, z)
+            cur.append(s)
+            carry_to(c)
+        if len(cur) == 2:
+            s, c = half_adder(ctx, cur.pop(), cur.pop())
+            cur.append(s)
+            carry_to(c)
+        out.append(cur[0])
+        w += 1
+    return out

@@ -97,9 +97,36 @@ def blind_rotate(a: jnp.ndarray, b: jnp.ndarray, mu: int, keys: DeviceKeys,
     return lax.fori_loop(0, n0, body, acc)
 
 
-def _pre_add(in0, in1, ca, cb, offset, dim):
-    comb = U32(ca % (1 << 32)) * in0 + U32(cb % (1 << 32)) * in1
-    return comb[:, :dim], comb[:, dim] + U32(offset % (1 << 32))
+def _u(x) -> jnp.ndarray:
+    return U32(x % (1 << 32))
+
+
+def _gate_coeffs(gate_consts, mu: int):
+    """Gate linear-combination constants as u32 operands.
+
+    Accepts either the (ca, cb, om) int tuple from golden.GATE_CONSTANTS
+    (compile-time specialization, one program per gate — the reference's
+    template-instantiation model, bootstrap_gpu.cu:424-512) or a traced
+    uint32[3] array (ca, cb, om*mu pre-encoded) so ONE compiled program
+    serves all ten two-input gates.
+    """
+    if isinstance(gate_consts, (tuple, list)):
+        ca, cb, om = gate_consts
+        return _u(ca), _u(cb), _u(om * mu)
+    return gate_consts[0], gate_consts[1], gate_consts[2]
+
+
+def encode_gate_consts(gate_consts, mu: int):
+    """Host-side encoding of (ca, cb, om) -> uint32[3] (ca, cb, om*mu)."""
+    import numpy as np
+    ca, cb, om = gate_consts
+    return jnp.asarray(np.array([ca % (1 << 32), cb % (1 << 32),
+                                 (om * mu) % (1 << 32)], dtype=np.uint32))
+
+
+def _pre_add(in0, in1, ca_u, cb_u, off_u, dim):
+    comb = ca_u * in0 + cb_u * in1
+    return comb[:, :dim], comb[:, dim] + off_u
 
 
 def gate_lvl0(gate_consts, in0: jnp.ndarray, in1: jnp.ndarray,
@@ -107,9 +134,9 @@ def gate_lvl0(gate_consts, in0: jnp.ndarray, in1: jnp.ndarray,
               backend: str = "auto") -> jnp.ndarray:
     """__HomGate__ br->iks order (bootstrap_gpu.cu:402-421): lvl0 inputs,
     fused pre-add into the mod switch, BR, extract, KS back to lvl0."""
-    ca, cb, om = gate_consts
+    ca, cb, off = _gate_coeffs(gate_consts, params.lvl0.mu)
     n0 = params.lvl0.dim
-    a, b = _pre_add(in0, in1, ca, cb, om * params.lvl0.mu, n0)
+    a, b = _pre_add(in0, in1, ca, cb, off, n0)
     acc = blind_rotate(a, b, params.lvl1.mu, keys, params, backend)
     tlwe1 = sample_extract_index0(acc, params.lvl1)
     return key_switch(tlwe1, keys.ksk_limbs, params)
@@ -120,9 +147,8 @@ def gate_lvl1(gate_consts, in0: jnp.ndarray, in1: jnp.ndarray,
               backend: str = "auto") -> jnp.ndarray:
     """__HomGate__ iks->br order (bootstrap_gpu.cu:383-400): lvl1 inputs,
     pre-add fused into the key switch, BR, extract to lvl1."""
-    ca, cb, om = gate_consts
-    tlwe0 = key_switch(in0, keys.ksk_limbs, params,
-                       pre=(ca, cb, om * params.lvl1.mu, in1))
+    ca, cb, off = _gate_coeffs(gate_consts, params.lvl1.mu)
+    tlwe0 = key_switch(in0, keys.ksk_limbs, params, pre=(ca, cb, off, in1))
     acc = blind_rotate(tlwe0[:, :params.lvl0.dim], tlwe0[:, params.lvl0.dim],
                        params.lvl1.mu, keys, params, backend)
     return sample_extract_index0(acc, params.lvl1)
@@ -133,9 +159,9 @@ def mux_lvl0(inc, in1, in0, keys: DeviceKeys, params: GateParams,
     """__MuxBootstrap__/__NMuxBootstrap__ lvl0 (bootstrap_gpu.cu:514-588)."""
     n0 = params.lvl0.dim
     mu0, mu1 = params.lvl0.mu, params.lvl1.mu
-    a1, b1 = _pre_add(inc, in1, 1, 1, -mu0, n0)
+    a1, b1 = _pre_add(inc, in1, _u(1), _u(1), _u(-mu0), n0)
     acc1 = blind_rotate(a1, b1, mu1, keys, params, backend)
-    a0, b0 = _pre_add(inc, in0, -1, 1, -mu0, n0)
+    a0, b0 = _pre_add(inc, in0, _u(-1), _u(1), _u(-mu0), n0)
     acc0 = blind_rotate(a0, b0, mu1, keys, params, backend)
     acc = acc1 + acc0
     if negate:
@@ -153,9 +179,11 @@ def mux_lvl1(inc, in1, in0, keys: DeviceKeys, params: GateParams,
     n0 = params.lvl0.dim
     d1 = params.lvl1.k * params.lvl1.n
     mu1 = params.lvl1.mu
-    t1 = key_switch(inc, keys.ksk_limbs, params, pre=(1, 1, -mu1, in1))
+    t1 = key_switch(inc, keys.ksk_limbs, params,
+                    pre=(_u(1), _u(1), _u(-mu1), in1))
     acc1 = blind_rotate(t1[:, :n0], t1[:, n0], mu1, keys, params, backend)
-    t0 = key_switch(inc, keys.ksk_limbs, params, pre=(-1, 1, -mu1, in0))
+    t0 = key_switch(inc, keys.ksk_limbs, params,
+                    pre=(_u(-1), _u(1), _u(-mu1), in0))
     acc0 = blind_rotate(t0[:, :n0], t0[:, n0], mu1, keys, params, backend)
     out = sample_extract_index0(acc1 + acc0, params.lvl1)
     if negate:

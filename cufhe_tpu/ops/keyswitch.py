@@ -53,10 +53,10 @@ def key_switch(tlwe1: jnp.ndarray, ksk_limbs: jnp.ndarray,
     d1 = params.lvl1.k * params.lvl1.n
     n0 = params.lvl0.dim
     if pre is not None:
-        ca, cb, offset, other = pre
-        comb = U32(ca % (1 << 32)) * tlwe1 + U32(cb % (1 << 32)) * other
+        ca_u, cb_u, off_u, other = pre   # u32 scalars (traced or concrete)
+        comb = ca_u * tlwe1 + cb_u * other
         a_in = comb[:, :d1]
-        b_in = comb[:, d1] + U32(offset % (1 << 32))
+        b_in = comb[:, d1] + off_u
     else:
         a_in = tlwe1[:, :d1]
         b_in = tlwe1[:, d1]

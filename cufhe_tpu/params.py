@@ -192,6 +192,14 @@ TINY_K2 = GateParams(
     ks=KeySwitchParams(t=4, basebit=2),
 )
 
+#: Tiny k=2 with N=128 for the Pallas kernel's CONCRETE-style path.
+PALLAS_TINY_K2 = GateParams(
+    name="pallas-tiny-k2-insecure-test",
+    lvl0=LweParams(n=8, k=1, alpha=0.0, mu=1 << 29),
+    lvl1=TrlweParams(nbit=7, k=2, l=2, Bgbit=8, alpha=0.0, mu=1 << 29),
+    ks=KeySwitchParams(t=4, basebit=2),
+)
+
 PRESETS = {p.name: p for p in (TFHEPP_128, TFHEPP_80, CGGI19, CONCRETE, TINY,
-                               PALLAS_TINY, TINY_K2)}
+                               PALLAS_TINY, TINY_K2, PALLAS_TINY_K2)}
 DEFAULT = TFHEPP_128

@@ -71,3 +71,27 @@ def test_mesh_sharded_matches_unsharded(tiny_key, rng):
     assert len(out_m.data.sharding.device_set) == 8
     assert decrypt_bits(out_m, sk).tolist() == \
         [1 - (x & y) for x, y in zip(bits0, bits1)]
+
+
+def test_subtract_compare_popcount_circuits(ctx, tiny_key, rng):
+    """models.circuits: two's-complement subtract, less_than, popcount."""
+    from cufhe_tpu.models import circuits as C
+    from cufhe_tpu.models.api import decrypt_bits, encrypt_bits
+    sk, _ = tiny_key
+    nbits, B = 3, 4
+    a_vals = rng.integers(0, 8, B)
+    b_vals = rng.integers(0, 8, B)
+    a = [encrypt_bits((a_vals >> i) & 1, sk, rng) for i in range(nbits)]
+    b = [encrypt_bits((b_vals >> i) & 1, sk, rng) for i in range(nbits)]
+    diff, geq = C.ripple_carry_sub(ctx, a, b)
+    got = sum(decrypt_bits(d, sk).astype(int) << i
+              for i, d in enumerate(diff))
+    assert np.array_equal(got, (a_vals - b_vals) % 8)
+    assert np.array_equal(decrypt_bits(geq, sk), (a_vals >= b_vals))
+    lt = C.less_than(ctx, a, b)
+    assert np.array_equal(decrypt_bits(lt, sk), (a_vals < b_vals))
+    cnt = C.popcount(ctx, a)
+    got = sum(decrypt_bits(c, sk).astype(int) << i
+              for i, c in enumerate(cnt))
+    want = np.array([bin(v).count("1") for v in a_vals])
+    assert np.array_equal(got, want)

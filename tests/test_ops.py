@@ -102,8 +102,10 @@ def test_keyswitch_bitexact(tiny_key, rng):
     off = (-p.lvl1.mu) % (1 << 32)
     want = np.stack([G.key_switch(t, ek, pre=(1, -1, off, o))
                      for t, o in zip(tl, other)])
+    u = lambda x: jnp.uint32(x % (1 << 32))
     got = np.asarray(KS.key_switch(jnp.asarray(tl), keys.ksk_limbs, p,
-                                   pre=(1, -1, off, jnp.asarray(other))))
+                                   pre=(u(1), u(-1), u(off),
+                                        jnp.asarray(other))))
     assert np.array_equal(got, want)
 
 

@@ -94,3 +94,23 @@ def test_pallas3_reduced_precision_gate(pallas_key, rng):
                                  backend="pallas3"))
     assert [G.decrypt_bit(g, sk) for g in got] == \
         [1 - (a & b) for a, b in zip(bits0, bits1)]
+
+
+def test_pallas_k2_concrete_style_gate(rng):
+    """k=2 (CONCRETE-style) parameters through the fused kernel: 3 TRLWE
+    components, Bgbit=8 digits — the generalized loops must stay bit-exact."""
+    sk = G.keygen(P.PALLAS_TINY_K2, seed=20)
+    ek = G.make_eval_key(sk, seed=21)
+    p = sk.params
+    keys = K.prepare_keys(ek, backends=("pallas",))
+    bits0, bits1 = [0, 1, 0, 1], [0, 0, 1, 1]
+    c0 = [G.encrypt_bit(b, sk, rng) for b in bits0]
+    c1 = [G.encrypt_bit(b, sk, rng) for b in bits1]
+    want = np.stack([G.gate_lvl0("or", a, b, ek) for a, b in zip(c0, c1)])
+    got = np.asarray(B.gate_lvl0(G.GATE_CONSTANTS["or"],
+                                 jnp.asarray(np.stack(c0)),
+                                 jnp.asarray(np.stack(c1)), keys, p,
+                                 backend="pallas"))
+    assert np.array_equal(got, want)
+    assert [G.decrypt_bit(g, sk) for g in got] == \
+        [a | b for a, b in zip(bits0, bits1)]
