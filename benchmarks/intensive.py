@@ -1,0 +1,100 @@
+"""Stress / async-correctness benchmark — the reference's test_intensive
+(test_intensive.cc:21-54): many logical streams, each running a chain of
+sequential ops, driven by a completion-polling scheduler that launches the
+next op the moment a stream is idle.
+
+Here a "stream" is a slice of the batch axis; chains are dependent (each op
+consumes the previous output), so this exercises JAX's async dispatch queue,
+program reuse across chained calls, and result stability under pressure —
+then decrypts everything and verifies against the plaintext recurrence.
+
+Usage: python benchmarks/intensive.py [--streams 512] [--chain 20]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, default=512)
+    ap.add_argument("--chain", type=int, default=20)
+    ap.add_argument("--backend", default="auto")
+    ap.add_argument("--params", default="tfhepp_128bit")
+    args = ap.parse_args()
+
+    import jax
+
+    from cufhe_tpu import PRESETS, golden as G
+    from cufhe_tpu.models import Context
+    from cufhe_tpu.models.api import decrypt_bits, encrypt_bits
+    from cufhe_tpu.runtime import Stream, stream_query, synchronize
+    from cufhe_tpu.utils import serialization as S
+
+    params = PRESETS[args.params]
+    here = os.path.dirname(os.path.abspath(__file__))
+    cache = os.path.join(os.path.dirname(here),
+                         f".bench_keys_{params.name}.npz")
+    sk_cache = cache.replace("keys", "sk")
+    if os.path.exists(cache) and os.path.exists(sk_cache):
+        ek, sk = S.load_eval_key(cache), S.load_secret_key(sk_cache)
+    else:
+        print("generating keys...", file=sys.stderr)
+        sk = G.keygen(params, seed=0)
+        ek = G.make_eval_key(sk, seed=1)
+        S.save_eval_key(cache, ek)
+        S.save_secret_key(sk_cache, sk)
+
+    ctx = Context(ek, backend=args.backend)
+    rng = np.random.default_rng(3)
+    B, chain = args.streams, args.chain
+    bits = rng.integers(0, 2, B)
+    other_bits = rng.integers(0, 2, B)
+    cts = encrypt_bits(bits, sk, rng)
+    other = encrypt_bits(other_bits, sk, rng)
+
+    # warmup/compile both ops used in the alternating chain
+    _ = ctx.nand(cts, other)
+    _ = ctx.xor(cts, other)
+    synchronize()
+
+    st = Stream()
+    t0 = time.perf_counter()
+    out = cts
+    polls = 0
+    for d in range(chain):
+        # completion polling like the reference's scheduler loop
+        while not stream_query(st):
+            polls += 1
+        out = ctx.nand(out, other) if d % 2 == 0 else ctx.xor(out, other)
+        st.record(out)
+    synchronize(st)
+    dt = time.perf_counter() - t0
+
+    want = bits.copy()
+    for d in range(chain):
+        want = (1 - (want & other_bits)) if d % 2 == 0 else want ^ other_bits
+    got = decrypt_bits(out, sk)
+    errors = int(np.sum(got != want))
+
+    total_ops = B * chain
+    print(json.dumps({
+        "metric": "intensive_chained_gate_ops_per_sec",
+        "value": round(total_ops / dt, 2),
+        "streams": B, "chain_depth": chain, "polls": polls,
+        "seconds": round(dt, 3), "errors": errors,
+        "device": str(jax.devices()[0]),
+    }))
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

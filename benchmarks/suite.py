@@ -27,14 +27,24 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timed(fn, iters):
+def _force(out):
+    """Block until a result (Ctxt/TrlweCtxt/array/tuple) is really done;
+    device_get rather than block_until_ready — the latter is unreliable
+    through the axon tunnel."""
     import jax
+    if isinstance(out, tuple):
+        out = out[0]
+    arr = getattr(out, "data", out)
+    np.asarray(jax.device_get(arr))
+
+
+def timed(fn, iters):
     out = fn()                       # warmup / compile
-    np.asarray(jax.device_get(out if not isinstance(out, tuple) else out[0]))
+    _force(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
-    np.asarray(jax.device_get(out if not isinstance(out, tuple) else out[0]))
+    _force(out)
     return (time.perf_counter() - t0) / iters, out
 
 

@@ -106,6 +106,9 @@ class Context:
                              f"choose from {sorted(GATE_CONSTANTS)}")
         if in0.level != in1.level:
             raise ValueError("gate inputs must share a level")
+        if in0.data.shape != in1.data.shape:
+            raise ValueError(f"gate input batches differ: "
+                             f"{in0.data.shape} vs {in1.data.shape}")
         level = in0.level
         p, bk = self.params, self.backend
         mu = p.lvl0.mu if level == 0 else p.lvl1.mu
