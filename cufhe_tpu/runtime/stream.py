@@ -45,9 +45,13 @@ class Stream:
         return True
 
     def synchronize(self) -> None:
-        """Block until everything recorded on this stream is complete."""
+        """Block until everything recorded on this stream is complete.
+        Uses device_get rather than block_until_ready: the latter can
+        return early through forwarding transports (e.g. the axon tunnel).
+        """
+        import numpy as np
         for arr in self._pending:
-            jax.block_until_ready(arr)
+            np.asarray(jax.device_get(arr))
         self._pending.clear()
 
 
@@ -65,6 +69,7 @@ def synchronize(*streams: Stream) -> None:
         return
     # jax has no global device sync; effectively, blocking on a trivially
     # new computation per device serializes behind all prior work.
+    import numpy as np
     import jax.numpy as jnp
     for d in jax.devices():
-        jax.block_until_ready(jax.device_put(jnp.zeros((1,)), d))
+        np.asarray(jax.device_get(jax.device_put(jnp.zeros((1,)), d)))
