@@ -20,23 +20,25 @@ import numpy as np
 def main() -> None:
     import jax
 
-    from cufhe_tpu import TFHEPP_128, golden as G
+    from cufhe_tpu import PRESETS, TFHEPP_128, golden as G
     from cufhe_tpu.models import Context, encrypt_bits, decrypt_bits
     from cufhe_tpu.utils import serialization as S
 
-    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
     iters = int(os.environ.get("BENCH_ITERS", "4"))
     backend = os.environ.get("BENCH_BACKEND", "auto")
+    pname = os.environ.get("BENCH_PARAMS", "")
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".bench_keys_128.npz")
+                         f".bench_keys_{pname}.npz" if pname
+                         else ".bench_keys_128.npz")
     sk_cache = cache.replace("keys", "sk")
     if os.path.exists(cache) and os.path.exists(sk_cache):
         ek = S.load_eval_key(cache)
         sk = S.load_secret_key(sk_cache)
     else:
         print("generating 128-bit keys (one-time)...", file=sys.stderr)
-        sk = G.keygen(TFHEPP_128, seed=0)
+        sk = G.keygen(PRESETS[pname] if pname else TFHEPP_128, seed=0)
         ek = G.make_eval_key(sk, seed=1)
         S.save_eval_key(cache, ek)
         S.save_secret_key(sk_cache, sk)
@@ -76,7 +78,7 @@ def main() -> None:
         "batch": batch,
         "ms_per_batch": round(dt * 1e3, 2),
         "backend": backend,
-        "params": "tfhepp_128bit",
+        "params": pname or "tfhepp_128bit",
         "decrypt_errors": errors,
         "device": str(jax.devices()[0]),
     }))

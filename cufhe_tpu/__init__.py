@@ -10,7 +10,7 @@ Layers (mirrors SURVEY.md §1, TPU-first):
   utils    — serialization, timing
 """
 from . import golden, params
-from .params import (CGGI19, CONCRETE, DEFAULT, PRESETS, TFHEPP_128, TFHEPP_80,
-                     TINY, TINY_K2, GateParams)
+from .params import (CGGI19, CONCRETE, DEFAULT, PRESETS, TFHEPP_128,
+                     TFHEPP_128_BG8, TFHEPP_80, TINY, TINY_K2, GateParams)
 
 __version__ = "0.1.0"

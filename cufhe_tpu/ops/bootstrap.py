@@ -80,8 +80,14 @@ def blind_rotate(a: jnp.ndarray, b: jnp.ndarray, mu: int, keys: DeviceKeys,
         if pad:
             abar = jnp.pad(abar, ((0, pad), (0, 0)))
         B = a.shape[0]
-        bt = B if B < 1024 else max(
-            d for d in (1024, 512, 256, 128, 64, 32, 16, 8) if B % d == 0)
+        # Tile cap: single-step grids fit bt=1024 at every supported set;
+        # multi-step grids double-buffer the in/out blocks, so large
+        # decompositions (I*N > 4096 bytes/lane of dec) must drop to 512
+        # to stay inside the 128 MB VMEM.
+        cap = 1024 if (B <= 1024 or
+                       (lp.k + 1) * lp.l * lp.n <= 4096) else 512
+        bt = B if B < cap else max(
+            d for d in (cap, 512, 256, 128, 64, 32, 16, 8) if B % d == 0)
         return blind_rotate_pallas(acc, abar, keys.bk_wext, params,
                                    b_tile=bt, nlimbs=nlimbs)
 

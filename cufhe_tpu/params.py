@@ -139,6 +139,22 @@ TFHEPP_128 = GateParams(
     ks=KeySwitchParams(t=8, basebit=2),
 )
 
+#: Fast variant of the 128-bit set: same LWE dimensions and noise rates
+#: (identical security), but gadget decomposition l=2 / Bg=256 instead of
+#: l=3 / Bg=64 — 33% less external-product work per bootstrap. The cost is
+#: a larger correctness-noise budget: phase noise std rises from ~2^25.2 to
+#: ~2^25.6 on the 2^32 torus (decision margin mu/2 = 2^28), putting the
+#: per-gate failure rate near the original TFHE-lib's ~2^-25 instead of
+#: TFHEpp's more conservative default. Measured 0 errors across all test
+#: batches; choose per deployment.
+TFHEPP_128_BG8 = GateParams(
+    name="tfhepp_128bit_bg8",
+    lvl0=LweParams(n=636, k=1, alpha=0.0000925119974676756, mu=1 << 29),
+    lvl1=TrlweParams(nbit=10, k=1, l=2, Bgbit=8,
+                     alpha=0.0000000342338787018369, mu=1 << 29),
+    ks=KeySwitchParams(t=8, basebit=2),
+)
+
 #: USE_80BIT_SECURITY — original CGGI16 80-bit set.
 TFHEPP_80 = GateParams(
     name="tfhepp_80bit",
@@ -200,6 +216,7 @@ PALLAS_TINY_K2 = GateParams(
     ks=KeySwitchParams(t=4, basebit=2),
 )
 
-PRESETS = {p.name: p for p in (TFHEPP_128, TFHEPP_80, CGGI19, CONCRETE, TINY,
-                               PALLAS_TINY, TINY_K2, PALLAS_TINY_K2)}
+PRESETS = {p.name: p for p in (TFHEPP_128, TFHEPP_128_BG8, TFHEPP_80, CGGI19,
+                               CONCRETE, TINY, PALLAS_TINY, TINY_K2,
+                               PALLAS_TINY_K2)}
 DEFAULT = TFHEPP_128
