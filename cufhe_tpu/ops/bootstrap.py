@@ -73,8 +73,9 @@ def blind_rotate(a: jnp.ndarray, b: jnp.ndarray, mu: int, keys: DeviceKeys,
     roundoffset = U32(1 << (32 - 2 - lp.nbit))
 
     if backend.startswith("pallas"):
-        from .pallas_br import BK_NLIMBS, blind_rotate_pallas
+        from .pallas_br import BK_NLIMBS, blind_rotate_pallas, kar_depth
         nlimbs = 3 if backend == "pallas3" else BK_NLIMBS
+        depth = kar_depth(lp, nlimbs)
         abar = _mod_switch(a + roundoffset, lp.nbit).T    # [n0, B]
         pad = (-n0) % 8
         if pad:
@@ -82,14 +83,15 @@ def blind_rotate(a: jnp.ndarray, b: jnp.ndarray, mu: int, keys: DeviceKeys,
         B = a.shape[0]
         # Tile cap: single-step grids fit bt=1024 at every supported set;
         # multi-step grids double-buffer the in/out blocks, so large
-        # decompositions (I*N > 4096 bytes/lane of dec) must drop to 512
-        # to stay inside the 128 MB VMEM.
-        cap = 1024 if (B <= 1024 or
+        # decompositions (I*N > 4096 bytes/lane of dec) at Karatsuba
+        # depth 0 must drop to 512 to stay inside the 128 MB VMEM (the
+        # depth>=1 band scratch is much smaller and fits).
+        cap = 1024 if (B <= 1024 or depth >= 1 or
                        (lp.k + 1) * lp.l * lp.n <= 4096) else 512
         bt = B if B < cap else max(
             d for d in (cap, 512, 256, 128, 64, 32, 16, 8) if B % d == 0)
         return blind_rotate_pallas(acc, abar, keys.bk_wext, params,
-                                   b_tile=bt, nlimbs=nlimbs)
+                                   b_tile=bt, nlimbs=nlimbs, depth=depth)
 
     def body(i, acc):
         a_i = lax.dynamic_index_in_dim(a, i, axis=1, keepdims=False)

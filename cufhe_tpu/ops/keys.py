@@ -94,10 +94,12 @@ def prepare_keys(ek: EvalKey, device=None,
     ksk_limbs = np.moveaxis(kl, 4, 0).reshape(NLIMBS, K, n0 + 1)
 
     if "pallas" in want or "pallas3" in want:
-        from .pallas_br import prepare_wext
+        from .pallas_br import kar_depth, prepare_wext
         if "pallas" in want and "pallas3" in want:
             raise ValueError("choose one pallas key precision per Context")
-        wext = prepare_wext(ek.bk, p, nlimbs=3 if "pallas3" in want else 4)
+        nl = 3 if "pallas3" in want else 4
+        wext = prepare_wext(ek.bk, p, nlimbs=nl,
+                            depth=kar_depth(p.lvl1, nl))
     else:
         wext = np.zeros((0,), dtype=np.int8)
 

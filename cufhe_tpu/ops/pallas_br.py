@@ -9,14 +9,20 @@ gatebootstrapping_gpu.cuh:287-314/115-285) for a batch tile:
     double-buffered async DMA per iteration,
   * the negacyclic monomial rotation is a barrel shifter (nbit conditional
     static sublane rolls + one sign select — no gathers),
-  * the external product runs on the MXU as one *deep* int8 dot per
-    (output component, key limb): Toeplitz bands Mt[u, r] = w[(u - r) mod 2N]
-    are generated in VMEM by a log-depth shear (5 conditional rolls on a
-    packed int32 view), their 128-aligned row windows are assembled into a
-    single [N, I*N] operator, and the decomposed digits (laid out in matching
-    (window, poly, offset) row order) contract against it in one
-    contraction-depth-I*N matmul — minimizing VPU accumulate traffic between
-    MXU calls.
+  * the external product runs on the MXU as deep int8 dots against
+    Toeplitz bands Mt[u, r] = w[(u - r) mod W] generated in VMEM by a
+    log-depth shear (conditional rolls on a packed int32 view), with the
+    decomposed digits laid out in matching (window, poly, offset) row order,
+  * optionally, the N x N block-Toeplitz operator is evaluated with a
+    block-Karatsuba recursion (the [A B; C A] three-multiplication
+    identity): at depth d, 3^d leaf products of size N/2^d replace the
+    (2^d)^2 block-products of the direct method — 9/16 of the MXU MACs at
+    depth 2. The leaf *generators* are host-precomputed u32 combinations of
+    the key (then limb-decomposed, so digits stay int8 and every partial
+    sum stays exact mod 2^32); the leaf *operands* are int8 sums of digit
+    segments whose magnitude is bounded by gating the depth on Bgbit.
+    The rearrangement is exact integer arithmetic: results stay
+    bit-identical to the golden model.
 
 Layout: everything in the kernel is 2-D with the *batch on lanes* and the
 polynomial coefficient axis on sublanes — the layout Mosaic vectorizes
@@ -29,6 +35,7 @@ than a translated prime-field butterfly network would be.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +43,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..params import GateParams
+from ..params import GateParams, TrlweParams
 
 U32 = jnp.uint32
 
@@ -49,9 +56,9 @@ U32 = jnp.uint32
 #: 3 limbs ("pallas3" backend) keeps only the top 24 BK bits — the analogue
 #: of the reference's USE_SMALL_NTT_MODULUS 29-bit discretization
 #: (ntt_small_modulus.cuh:40-73): ~25% less MXU work, key HBM and band
-#: traffic, at the cost of extra noise of std ~2^21 on the 2^32 torus
-#: (~8% variance on top of the inherent blind-rotation noise at the 128-bit
-#: set; >100 sigma of decryption margin). Not bit-exact vs the golden model.
+#: traffic, at the cost of extra noise of std ~2^21 on the 2^32 torus at the
+#: l=3 128-bit set. Not bit-exact vs the golden model, and NOT recommended
+#: on reduced-l parameter sets (tradeoffs do not compose; see DESIGN.md).
 BK_NLIMBS = 4
 BK_LIMB_BITS = 8
 
@@ -64,18 +71,66 @@ BK_LIMB_BITS = 8
 BK_COPIES = 16
 
 
-def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS):
-    import os
+def kar_depth(lp: TrlweParams, nlimbs: int = BK_NLIMBS) -> int:
+    """Block-Karatsuba depth for a parameter set.
+
+    Leaf operands sum 2^d gadget digits, so 2^(Bgbit-1) * 2^d must fit
+    int8; leaves must be at least one 128-lane block. Default depth is 1:
+    depth 2 is bit-exact too but measured *slower* on v5e (the [N/4, ...]
+    leaf dots lose more MXU efficiency than the 9/16-MAC reduction buys;
+    186 ms vs 223 ms per 1024 gates at the 128-bit set). Overridable with
+    CUFHE_KAR_DEPTH (benchmark A/B)."""
+    env = os.environ.get("CUFHE_KAR_DEPTH", "")
+    d = min(1, 8 - lp.Bgbit, lp.nbit - 7)
+    if nlimbs < BK_NLIMBS:
+        d = 0   # with 3 limbs the MXU is no longer dominant: measured slower
+    if env:
+        d = min(int(env), lp.nbit - 7)
+    return max(0, d)
+
+
+def _leaf_paths(depth: int):
+    """Leaves of the Karatsuba tree in v-index order; path entries:
+    1 = central A (operand x_l + x_r, output both halves),
+    2 = B - A     (operand x_r,       output top half),
+    3 = C - A     (operand x_l,       output bottom half)."""
+    paths = [()]
+    for _ in range(depth):
+        paths = [p + (v,) for p in paths for v in (1, 2, 3)]
+    return paths
+
+
+def _leaf_quarters(path, depth: int):
+    """Output chunk indices (of 2^depth) a leaf accumulates into."""
+    qs = [0]
+    for v in path:
+        if v == 1:
+            qs = [q * 2 + h for q in qs for h in (0, 1)]
+        elif v == 2:
+            qs = [q * 2 for q in qs]
+        else:
+            qs = [q * 2 + 1 for q in qs]
+    return qs
+
+
+def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
+                 depth: int = 0):
     _skip = os.environ.get("CUFHE_PALLAS_SKIP", "")  # debug: 'mxu'|'rot'|'shear'
     lp = params.lvl1
     N, nbit, k, l, Bgbit = lp.n, lp.nbit, lp.k, lp.l, lp.Bgbit
     n0 = params.lvl0.dim
     I = (k + 1) * l
     C = BK_COPIES
-    drop = BK_NLIMBS - nlimbs         # low limbs dropped ('pallas3' mode)
-    G = (k + 1) * nlimbs * I          # distinct key polys per iteration
-    W = 2 * N                          # band width
-    R_BLOCKS = N // 128
+    L = 3 ** depth                     # Karatsuba leaves
+    leaf_n = N >> depth
+    R_L = leaf_n // 128
+    W_g = 2 * leaf_n                   # leaf band width
+    assert (1 << (Bgbit - 1)) << depth <= 128, \
+        "Karatsuba depth overflows int8 digit sums"
+    assert leaf_n >= 128
+    G = (k + 1) * nlimbs * L * I       # distinct leaf generators / iteration
+    paths = _leaf_paths(depth)
+    quarters = [_leaf_quarters(p, depth) for p in paths]
     off_const = np.uint32((lp.decomp_offset + lp.decomp_roundoffset)
                           % (1 << 32))
     dmask = np.uint32((1 << Bgbit) - 1)
@@ -94,7 +149,8 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS):
 
         subl = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
         # Band-column index within a poly (loop-invariant select masks).
-        mlane = jax.lax.broadcasted_iota(jnp.int32, (1, I * 128), 1) & 127
+        mlane = jax.lax.broadcasted_iota(
+            jnp.int32, (1, L * I * 128), 1) & 127
 
         def iter_body(i, carry):
             slot = jax.lax.rem(i, 2)
@@ -105,35 +161,14 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS):
 
             dma(i, slot).wait()
 
-            # ---- build all G Toeplitz bands for this iteration, once ----
-            # Each key poly comes as C pre-rotated int8 copies; bitcast packs
-            # 4 sublanes per int32 word so conditional rolls finish the
-            # per-column rotation Mt[u, r] = w[(u - r) mod 2N] with only
-            # log2(128/C) rolls, shared by every (component, limb) dot and
-            # the whole batch tile.
-            if _skip != "shear":
-                Pw = pltpu.bitcast(wbuf_ref[slot], jnp.int32)  # [W/4, C*G]
-                for ol in range((k + 1) * nlimbs):
-                    cols = []
-                    for j in range(I):
-                        p = ol * I + j
-                        cols.extend([Pw[:, C * p:C * (p + 1)]] * (128 // C))
-                    P = jnp.concatenate(cols, axis=1)       # [W/4, I*128]
-                    b = C
-                    while b < 128:
-                        rolled = pltpu.roll(P, b // 4, axis=0)
-                        P = jnp.where((mlane & b) != 0, rolled, P)
-                        b *= 2
-                    m_ref[:, ol * (I * 128):(ol + 1) * (I * 128)] = \
-                        pltpu.bitcast(P, jnp.int8)
-
             ab = abar_ref[pl.ds(i, 1), :].astype(jnp.int32)   # [1, Bt]
             hi = ((ab >> nbit) & 1).astype(jnp.bool_)
             lo = ab & (N - 1)
 
-            # ---- rotate each component by X^abar; decompose digits ----
-            # dec_ref row layout is (R, j, r): digit poly j is scattered into
-            # R_BLOCKS chunks of 128 rows so that the contraction index pairs
+            # ---- rotate each component by X^abar; decompose digits; build
+            # Karatsuba leaf operands. dec_ref row layout is
+            # (leaf v, R, poly r, offset): each leaf operand is scattered
+            # into R_L chunks of 128 rows so the contraction index pairs
             # with the band-window column order assembled in a_ref below.
             for j in range(k + 1):
                 acc_j = out_ref[j * N:(j + 1) * N, :]     # [N, Bt] uint32
@@ -147,54 +182,97 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS):
                 temp = rot - acc_j + off_const
                 for d in range(l):
                     sh = np.uint32(32 - (d + 1) * Bgbit)
-                    dig8 = (((temp >> sh) & dmask).astype(jnp.int32)
-                            - half).astype(jnp.int8)
+                    # leaf sums in int32 (Mosaic has no int8 vector adds);
+                    # magnitudes stay int8-safe by the depth/Bgbit gate.
+                    dig32 = ((temp >> sh) & dmask).astype(jnp.int32) - half
                     r = j * l + d
-                    for R in range(R_BLOCKS):
-                        dec_ref[(R * I + r) * 128:(R * I + r + 1) * 128, :] \
-                            = dig8[128 * R:128 * (R + 1), :]
+                    nodes = {(): dig32}
+                    for _lev in range(depth):
+                        nxt = {}
+                        for path, vec in nodes.items():
+                            hn = vec.shape[0] // 2
+                            vlo, vhi = vec[:hn, :], vec[hn:, :]
+                            nxt[path + (1,)] = vlo + vhi
+                            nxt[path + (2,)] = vhi
+                            nxt[path + (3,)] = vlo
+                        nodes = nxt
+                    for v, path in enumerate(paths):
+                        lv = nodes[path]                   # [leaf_n, Bt]
+                        base = v * (I * leaf_n)
+                        for R in range(R_L):
+                            row = base + (R * I + r) * 128
+                            dec_ref[row:row + 128, :] = \
+                                lv[128 * R:128 * (R + 1), :].astype(jnp.int8)
 
-            # ---- external product: one deep banded-Toeplitz MXU dot per
-            # (output component, key limb); contraction depth I*N ----
+            # ---- external product: per (component, limb), shear this
+            # block's L*I leaf bands, then one deep MXU dot per leaf;
+            # leaf outputs accumulate into their Karatsuba output chunks.
             for o in range(k + 1):
                 upd = jnp.zeros((N, Bt), jnp.uint32)
                 for li in range(nlimbs):
                     ol = o * nlimbs + li
                     if _skip != "shear":
-                        for R in range(R_BLOCKS):
-                            a_ref[:, R * (I * 128):(R + 1) * (I * 128)] = \
-                                m_ref[N - 128 * R:2 * N - 128 * R,
-                                      ol * (I * 128):(ol + 1) * (I * 128)]
-                    if _skip == "mxu":
-                        p32 = jnp.zeros((N, Bt), jnp.int32)
-                    else:
-                        p32 = jax.lax.dot_general(
-                            a_ref[:, :], dec_ref[:, :],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32)
-                    upd = upd + (p32.astype(jnp.uint32)
-                                 << np.uint32(BK_LIMB_BITS * (li + drop)))
+                        Pw = pltpu.bitcast(wbuf_ref[slot], jnp.int32)
+                        cols = []
+                        for g in range(L * I):
+                            p = ol * (L * I) + g
+                            cols.extend([Pw[:, C * p:C * (p + 1)]]
+                                        * (128 // C))
+                        P = jnp.concatenate(cols, axis=1)  # [Wg/4, LI*128]
+                        b = C
+                        while b < 128:
+                            rolled = pltpu.roll(P, b // 4, axis=0)
+                            P = jnp.where((mlane & b) != 0, rolled, P)
+                            b *= 2
+                        m_ref[:, :] = pltpu.bitcast(P, jnp.int8)
+                    chunks = [jnp.zeros((leaf_n, Bt), jnp.int32)
+                              for _ in range(1 << depth)]
+                    for v in range(L):
+                        if _skip != "shear":
+                            for R in range(R_L):
+                                a_ref[:, R * (I * 128):(R + 1) * (I * 128)] \
+                                    = m_ref[leaf_n - 128 * R:
+                                            2 * leaf_n - 128 * R,
+                                            v * (I * 128):(v + 1) * (I * 128)]
+                        if _skip == "mxu":
+                            p32 = jnp.zeros((leaf_n, Bt), jnp.int32)
+                        else:
+                            p32 = jax.lax.dot_general(
+                                a_ref[:, :],
+                                dec_ref[v * (I * leaf_n):
+                                        (v + 1) * (I * leaf_n), :],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+                        for q in quarters[v]:
+                            chunks[q] = chunks[q] + p32
+                    pfull = (chunks[0] if depth == 0
+                             else jnp.concatenate(chunks, axis=0))
+                    upd = upd + (pfull.astype(jnp.uint32)
+                                 << np.uint32(BK_LIMB_BITS * (li + (
+                                     BK_NLIMBS - nlimbs))))
                 out_ref[o * N:(o + 1) * N, :] += upd
             return carry
 
         jax.lax.fori_loop(0, n0, iter_body, 0)
 
-    return kernel, dict(N=N, n0=n0, k=k, I=I, G=G, W=W,
-                        R_BLOCKS=R_BLOCKS)
+    return kernel, dict(N=N, n0=n0, k=k, I=I, G=G, W_g=W_g, L=L,
+                        leaf_n=leaf_n)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("params", "b_tile", "nlimbs"))
+                   static_argnames=("params", "b_tile", "nlimbs", "depth"))
 def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
                         wext: jnp.ndarray, params: GateParams,
                         b_tile: int = 256,
-                        nlimbs: int = BK_NLIMBS) -> jnp.ndarray:
+                        nlimbs: int = BK_NLIMBS,
+                        depth: int = 0) -> jnp.ndarray:
     """Run the fused blind rotation.
 
     acc_init: [B, k+1, N] uint32 — rotated test vector (batched_test_vector).
     abar:     [n0_pad, B] uint32 — per-iteration rotation indices
               (iteration-major; rows >= n0 ignored).
-    wext:     [n0, 2N, G] int8 — transposed extended limb key (prepare_wext).
+    wext:     [n0, W_g, C*G] int8 — pre-rotated leaf-generator limb bands
+              (prepare_wext with the same nlimbs/depth).
     Returns [B, k+1, N] uint32.
     """
     lp = params.lvl1
@@ -202,12 +280,13 @@ def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
         raise NotImplementedError("pallas backend requires Bgbit <= 8")
     if lp.n % 128:
         raise NotImplementedError("pallas backend requires N % 128 == 0")
-    kernel, dims = _make_kernel(params, nlimbs)
+    kernel, dims = _make_kernel(params, nlimbs, depth)
     B = acc_init.shape[0]
     bt = min(b_tile, B)
     assert B % bt == 0, (B, bt)
-    N, k, G, W, n0 = dims["N"], dims["k"], dims["G"], dims["W"], dims["n0"]
-    I = dims["I"]
+    N, k, n0 = dims["N"], dims["k"], dims["n0"]
+    I, L, leaf_n, W_g = dims["I"], dims["L"], dims["leaf_n"], dims["W_g"]
+    assert wext.shape[1] == W_g, (wext.shape, W_g, "wext/depth mismatch")
     KP1N = (k + 1) * N
 
     acc_t = acc_init.reshape(B, KP1N).T               # [(k+1)N, B]
@@ -228,10 +307,10 @@ def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((KP1N, B), jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((I * N, bt), jnp.int8),       # dec, (R, j, r) rows
-            pltpu.VMEM((W, G * 128), jnp.int8),      # all Toeplitz bands
-            pltpu.VMEM((N, I * N), jnp.int8),        # assembled band windows
-            pltpu.VMEM((2, W, wext.shape[2]), jnp.int8),  # BK double buffer
+            pltpu.VMEM((L * I * leaf_n, bt), jnp.int8),  # leaf operands
+            pltpu.VMEM((W_g, L * I * 128), jnp.int8),    # leaf bands (o,li)
+            pltpu.VMEM((leaf_n, I * leaf_n), jnp.int8),  # assembled windows
+            pltpu.VMEM((2, W_g, wext.shape[2]), jnp.int8),  # key buffer
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -246,38 +325,57 @@ def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
 # Key preparation for this kernel
 # ---------------------------------------------------------------------------
 
+def _child_exts(h_ext: np.ndarray):
+    """Karatsuba children of an extended Toeplitz generator (u32, exact
+    mod 2^32). h_ext[..., u] = h[u - m] for a size-m operator (shape 2m);
+    returns [A, B-A, C-A] extended generators of size m (operators m/2)."""
+    m = h_ext.shape[-1] // 2
+    A = h_ext[..., m // 2: m // 2 + m]
+    return [A, h_ext[..., :m] - A, h_ext[..., m:] - A]
+
+
 def prepare_wext(bk: np.ndarray, params: GateParams,
-                 nlimbs: int = BK_NLIMBS) -> np.ndarray:
-    """BK [n0, (k+1)l, k+1, N] uint32 -> wext [n0, 2N, 4G] int8 (transposed).
+                 nlimbs: int = BK_NLIMBS, depth: int = 0) -> np.ndarray:
+    """BK [n0, (k+1)l, k+1, N] uint32 -> wext [n0, W_g, C*G] int8.
 
-    Column C*p+c (C = BK_COPIES) holds the negacyclic-extended,
-    limb-decomposed key polynomial (index-u entry wneg[u - N], so band
-    windows start at 128-aligned rows) pre-rotated down by c — the low
-    log2(C) bits of the in-kernel shear, pre-applied so the kernel finishes
-    the per-column rotation with only log2(128/C) packed-int32 rolls.
+    Column C*p+c (C = BK_COPIES, p = ((o*nlimbs+li)*L + v)*I + j) holds the
+    limb-decomposed extended generator of Karatsuba leaf v of key poly
+    (j, o), limb li, pre-rotated down by c — the low log2(C) bits of the
+    in-kernel shear, pre-applied so the kernel finishes the per-column
+    rotation with only log2(128/C) packed-int32 rolls.
 
-    The negacyclic extension is built in uint32 (negation mod 2^32) *before*
-    balanced limb decomposition: the limbed columns then sum back to the
-    extended value exactly mod 2^32, and every digit fits int8 with only 4
-    limbs (negating digits post-decomposition would overflow at -(-128)).
+    The negacyclic extension and all Karatsuba generator combinations are
+    computed in uint32 (exact mod 2^32) *before* balanced limb
+    decomposition: the limbed columns sum back to the combined generator
+    exactly, every digit fits int8 with 4 limbs, and band windows start at
+    128-aligned rows (extension offset leaf_n).
     """
     from .limbs import u32_to_signed_limbs
 
     n0, I, kp1, N = bk.shape
     C = BK_COPIES
+    L = 3 ** depth
+    leaf_n = N >> depth
+    W_g = 2 * leaf_n
     ext = np.empty((n0, I, kp1, 2 * N), dtype=np.uint32)
     ext[..., :N] = np.zeros_like(bk) - bk
     ext[..., N:] = bk
-    limbs = u32_to_signed_limbs(ext, nlimbs=BK_NLIMBS, bits=BK_LIMB_BITS)
+    leaf_exts = [ext]
+    for _ in range(depth):
+        leaf_exts = [c for e in leaf_exts for c in _child_exts(e)]
+    # [n0, I, kp1, L, W_g]
+    leaves = np.stack(leaf_exts, axis=3)
+    limbs = u32_to_signed_limbs(leaves, nlimbs=BK_NLIMBS, bits=BK_LIMB_BITS)
     drop = BK_NLIMBS - nlimbs          # keep only the top `nlimbs` limbs
-    G = kp1 * nlimbs * I
+    G = kp1 * nlimbs * L * I
     gp = -(-(C * G) // 128) * 128      # lane-align for DMA
-    wext = np.zeros((n0, 2 * N, gp), dtype=np.int8)
+    wext = np.zeros((n0, W_g, gp), dtype=np.int8)
     for o in range(kp1):
         for li in range(nlimbs):
-            for j in range(I):
-                p = (o * nlimbs + li) * I + j
-                base = limbs[:, j, o, :, drop + li]  # [n0, 2N]
-                for c in range(C):
-                    wext[:, :, C * p + c] = np.roll(base, c, axis=1)
+            for v in range(L):
+                for j in range(I):
+                    p = ((o * nlimbs + li) * L + v) * I + j
+                    base = limbs[:, j, o, v, :, drop + li]  # [n0, W_g]
+                    for c in range(C):
+                        wext[:, :, C * p + c] = np.roll(base, c, axis=1)
     return wext

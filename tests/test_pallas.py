@@ -114,3 +114,27 @@ def test_pallas_k2_concrete_style_gate(rng):
     assert np.array_equal(got, want)
     assert [G.decrypt_bit(g, sk) for g in got] == \
         [a | b for a, b in zip(bits0, bits1)]
+
+
+@pytest.mark.parametrize("depth", [0, 1, 2])
+def test_pallas_karatsuba_bitexact(depth, rng, monkeypatch):
+    """Block-Karatsuba external product must be bit-identical to the golden
+    model at every depth (it is an exact mod-2^32 rearrangement)."""
+    monkeypatch.setenv("CUFHE_KAR_DEPTH", str(depth))
+    from cufhe_tpu.ops.pallas_br import kar_depth
+    sk = G.keygen(P.PALLAS_KAR, seed=30 + depth)
+    ek = G.make_eval_key(sk, seed=31 + depth)
+    p = sk.params
+    assert kar_depth(p.lvl1) == depth
+    keys = K.prepare_keys(ek, backends=("pallas",))
+    bits0, bits1 = [0, 1, 0, 1], [0, 0, 1, 1]
+    c0 = [G.encrypt_bit(b, sk, rng) for b in bits0]
+    c1 = [G.encrypt_bit(b, sk, rng) for b in bits1]
+    want = np.stack([G.gate_lvl0("nand", a, b, ek) for a, b in zip(c0, c1)])
+    got = np.asarray(B.gate_lvl0(G.GATE_CONSTANTS["nand"],
+                                 jnp.asarray(np.stack(c0)),
+                                 jnp.asarray(np.stack(c1)), keys, p,
+                                 backend="pallas"))
+    assert np.array_equal(got, want)
+    assert [G.decrypt_bit(g, sk) for g in got] == \
+        [1 - (a & b) for a, b in zip(bits0, bits1)]
