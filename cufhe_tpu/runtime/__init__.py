@@ -1,5 +1,6 @@
 """Native runtime: circuit graph builder + level scheduler (C++ core),
 batched schedule executor, and stream-style async shims."""
+from .bristol import compile_bristol, load_bristol, parse_bristol
 from .executor import run_schedule, trivial_ciphertext
 from .graph import (CircuitBuilder, OPCODES, Schedule, build_ripple_adder,
                     native_available)
@@ -7,4 +8,5 @@ from .stream import Stream, stream_query, synchronize
 
 __all__ = ["CircuitBuilder", "OPCODES", "Schedule", "build_ripple_adder",
            "native_available", "run_schedule", "trivial_ciphertext",
-           "Stream", "stream_query", "synchronize"]
+           "Stream", "stream_query", "synchronize",
+           "compile_bristol", "load_bristol", "parse_bristol"]

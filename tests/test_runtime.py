@@ -137,3 +137,78 @@ def test_stream_query_and_synchronize(tiny_key, rng):
             want = 1 - (want & want)
         assert decrypt_bits(cts[i], sk)[0] == want
     synchronize()  # global form runs without error
+
+
+def test_bristol_two_bit_adder(tiny_key, rng):
+    """Parse and execute a hand-written Bristol Fashion 2-bit adder
+    (a + b -> 3-bit sum) against plaintext addition."""
+    from cufhe_tpu.runtime.bristol import compile_bristol
+    # 2-bit adder: inputs a0 a1 (wires 0,1), b0 b1 (2,3); outputs s0 s1 s2
+    # = wires 13,14,15 of 16.
+    text = """\
+9 16
+2 2 2
+1 3
+2 1 0 2 13 XOR
+2 1 0 2 5 AND
+2 1 1 3 6 XOR
+2 1 1 3 7 AND
+2 1 6 5 14 XOR
+2 1 6 5 9 AND
+2 1 9 7 10 OR
+1 1 10 11 EQW
+1 1 11 15 EQW
+"""
+    sched, meta = compile_bristol(text)
+    assert meta["input_widths"] == [2, 2]
+    sk, ek = tiny_key
+    from cufhe_tpu.models import Context, decrypt_bits, encrypt_bits
+    ctx = Context(ek)
+    B = 4
+    a_vals = rng.integers(0, 4, B)
+    b_vals = rng.integers(0, 4, B)
+    enc = [encrypt_bits((a_vals >> i) & 1, sk, rng) for i in range(2)]
+    enc += [encrypt_bits((b_vals >> i) & 1, sk, rng) for i in range(2)]
+    outs = run_schedule(ctx, sched, enc)
+    got = sum(decrypt_bits(o, sk).astype(int) << i
+              for i, o in enumerate(outs))
+    assert np.array_equal(got, a_vals + b_vals)
+
+
+def test_bristol_const_inv_mux(tiny_key, rng):
+    """EQ constants, INV, and the Bristol MUX convention."""
+    from cufhe_tpu.runtime.bristol import compile_bristol
+    # inputs: s (wire 0), x (wire 1); wires: 2=const1, 3=INV x,
+    # out 4 = MUX(s, const1, INV x) = s ? INV x : 1
+    text = """\
+3 5
+2 1 1
+1 1
+1 1 1 2 EQ
+1 1 1 3 INV
+3 1 0 2 3 4 MUX
+"""
+    sched, meta = compile_bristol(text)
+    sk, ek = tiny_key
+    from cufhe_tpu.models import Context, decrypt_bits, encrypt_bits
+    ctx = Context(ek)
+    s_bits = np.array([0, 1, 0, 1])
+    x_bits = np.array([0, 0, 1, 1])
+    outs = run_schedule(ctx, sched, [encrypt_bits(s_bits, sk, rng),
+                                     encrypt_bits(x_bits, sk, rng)])
+    got = decrypt_bits(outs[0], sk)
+    want = np.where(s_bits == 1, 1 - x_bits, 1)
+    assert np.array_equal(got, want)
+
+
+def test_bristol_rejects_cyclic(tiny_key):
+    from cufhe_tpu.runtime.bristol import compile_bristol
+    text = """\
+2 4
+1 2
+1 1
+2 1 0 3 2 XOR
+2 1 0 2 3 XOR
+"""
+    with pytest.raises(ValueError, match="topologically"):
+        compile_bristol(text)
