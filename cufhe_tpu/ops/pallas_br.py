@@ -137,7 +137,7 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
     half = np.int32(1 << (Bgbit - 1))
 
     def kernel(abar_ref, acc_in_ref, wext_hbm, out_ref,
-               dec_ref, m_ref, a_ref, wbuf_ref, sem_ref):
+               dec_ref, a_ref, wbuf_ref, sem_ref):
         Bt = out_ref.shape[1]
 
         def dma(i, slot):
@@ -204,47 +204,61 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
                             dec_ref[row:row + 128, :] = \
                                 lv[128 * R:128 * (R + 1), :].astype(jnp.int8)
 
-            # ---- external product: per (component, limb), shear this
-            # block's L*I leaf bands, then one deep MXU dot per leaf;
-            # leaf outputs accumulate into their Karatsuba output chunks.
+            # ---- external product. Bands for (component, limb) block
+            # ol+1 are sheared and window-assembled into the *other* a_ref
+            # buffer between issuing block ol's MXU dots and consuming
+            # their results, so the VPU band work hides under MXU time.
+            def build(ol, buf):
+                if _skip == "shear":
+                    return
+                Pw = pltpu.bitcast(wbuf_ref[slot], jnp.int32)
+                cols = []
+                for g in range(L * I):
+                    p = ol * (L * I) + g
+                    cols.extend([Pw[:, C * p:C * (p + 1)]] * (128 // C))
+                P = jnp.concatenate(cols, axis=1)      # [Wg/4, LI*128]
+                b = C
+                while b < 128:
+                    rolled = pltpu.roll(P, b // 4, axis=0)
+                    P = jnp.where((mlane & b) != 0, rolled, P)
+                    b *= 2
+                # write 128-aligned row windows straight from the packed
+                # view (rows/4) — no intermediate band buffer
+                for v in range(L):
+                    for R in range(R_L):
+                        win = P[(leaf_n - 128 * R) // 4:
+                                (2 * leaf_n - 128 * R) // 4,
+                                v * (I * 128):(v + 1) * (I * 128)]
+                        col0 = v * (I * leaf_n) + R * (I * 128)
+                        a_ref[buf, :, col0:col0 + I * 128] = \
+                            pltpu.bitcast(win, jnp.int8)
+
+            OL = (k + 1) * nlimbs
+            build(0, 0)
             for o in range(k + 1):
                 upd = jnp.zeros((N, Bt), jnp.uint32)
                 for li in range(nlimbs):
                     ol = o * nlimbs + li
-                    if _skip != "shear":
-                        Pw = pltpu.bitcast(wbuf_ref[slot], jnp.int32)
-                        cols = []
-                        for g in range(L * I):
-                            p = ol * (L * I) + g
-                            cols.extend([Pw[:, C * p:C * (p + 1)]]
-                                        * (128 // C))
-                        P = jnp.concatenate(cols, axis=1)  # [Wg/4, LI*128]
-                        b = C
-                        while b < 128:
-                            rolled = pltpu.roll(P, b // 4, axis=0)
-                            P = jnp.where((mlane & b) != 0, rolled, P)
-                            b *= 2
-                        m_ref[:, :] = pltpu.bitcast(P, jnp.int8)
+                    buf = ol % 2
+                    if _skip == "mxu":
+                        p32s = [jnp.zeros((leaf_n, Bt), jnp.int32)
+                                for _ in range(L)]
+                    else:
+                        p32s = [jax.lax.dot_general(
+                            a_ref[buf, :,
+                                  v * (I * leaf_n):(v + 1) * (I * leaf_n)],
+                            dec_ref[v * (I * leaf_n):
+                                    (v + 1) * (I * leaf_n), :],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+                            for v in range(L)]
+                    if ol + 1 < OL:
+                        build(ol + 1, 1 - buf)
                     chunks = [jnp.zeros((leaf_n, Bt), jnp.int32)
                               for _ in range(1 << depth)]
                     for v in range(L):
-                        if _skip != "shear":
-                            for R in range(R_L):
-                                a_ref[:, R * (I * 128):(R + 1) * (I * 128)] \
-                                    = m_ref[leaf_n - 128 * R:
-                                            2 * leaf_n - 128 * R,
-                                            v * (I * 128):(v + 1) * (I * 128)]
-                        if _skip == "mxu":
-                            p32 = jnp.zeros((leaf_n, Bt), jnp.int32)
-                        else:
-                            p32 = jax.lax.dot_general(
-                                a_ref[:, :],
-                                dec_ref[v * (I * leaf_n):
-                                        (v + 1) * (I * leaf_n), :],
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.int32)
                         for q in quarters[v]:
-                            chunks[q] = chunks[q] + p32
+                            chunks[q] = chunks[q] + p32s[v]
                     pfull = (chunks[0] if depth == 0
                              else jnp.concatenate(chunks, axis=0))
                     upd = upd + (pfull.astype(jnp.uint32)
@@ -308,8 +322,7 @@ def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((KP1N, B), jnp.uint32),
         scratch_shapes=[
             pltpu.VMEM((L * I * leaf_n, bt), jnp.int8),  # leaf operands
-            pltpu.VMEM((W_g, L * I * 128), jnp.int8),    # leaf bands (o,li)
-            pltpu.VMEM((leaf_n, I * leaf_n), jnp.int8),  # assembled windows
+            pltpu.VMEM((2, leaf_n, L * I * leaf_n), jnp.int8),  # windows x2
             pltpu.VMEM((2, W_g, wext.shape[2]), jnp.int8),  # key buffer
             pltpu.SemaphoreType.DMA((2,)),
         ],
