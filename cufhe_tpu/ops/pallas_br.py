@@ -75,15 +75,13 @@ def kar_depth(lp: TrlweParams, nlimbs: int = BK_NLIMBS) -> int:
     """Block-Karatsuba depth for a parameter set.
 
     Leaf operands sum 2^d gadget digits, so 2^(Bgbit-1) * 2^d must fit
-    int8; leaves must be at least one 128-lane block. Default depth is 1:
-    depth 2 is bit-exact too but measured *slower* on v5e (the [N/4, ...]
-    leaf dots lose more MXU efficiency than the 9/16-MAC reduction buys;
-    186 ms vs 223 ms per 1024 gates at the 128-bit set). Overridable with
-    CUFHE_KAR_DEPTH (benchmark A/B)."""
+    int8; leaves must be at least one 128-lane block. With every
+    (component, limb) operator stacked into one MXU dot per leaf, depth 2
+    keeps full MXU efficiency and its 9/16-MAC reduction wins outright
+    (measured 152 ms vs 190 ms per 1024 gates at the 128-bit set).
+    Overridable with CUFHE_KAR_DEPTH (benchmark A/B)."""
     env = os.environ.get("CUFHE_KAR_DEPTH", "")
-    d = min(1, 8 - lp.Bgbit, lp.nbit - 7)
-    if nlimbs < BK_NLIMBS:
-        d = 0   # with 3 limbs the MXU is no longer dominant: measured slower
+    d = min(2, 8 - lp.Bgbit, lp.nbit - 7)
     if env:
         d = min(int(env), lp.nbit - 7)
     return max(0, d)
@@ -131,6 +129,16 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
     G = (k + 1) * nlimbs * L * I       # distinct leaf generators / iteration
     paths = _leaf_paths(depth)
     quarters = [_leaf_quarters(p, depth) for p in paths]
+    OL = (k + 1) * nlimbs              # stacked (component, limb) operators
+    # Group size: how many (component, limb) operators stack into one MXU
+    # dot; capped so one a_ref buffer stays ~<=12 MB.
+    per_ol = leaf_n * I * leaf_n
+    GOL = 1
+    for g in range(1, OL + 1):
+        if OL % g == 0 and g * per_ol <= (12 << 20):
+            GOL = g
+    NG = OL // GOL
+    drop_sh = BK_NLIMBS - nlimbs
     off_const = np.uint32((lp.decomp_offset + lp.decomp_roundoffset)
                           % (1 << 32))
     dmask = np.uint32((1 << Bgbit) - 1)
@@ -150,7 +158,7 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
         subl = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
         # Band-column index within a poly (loop-invariant select masks).
         mlane = jax.lax.broadcasted_iota(
-            jnp.int32, (1, L * I * 128), 1) & 127
+            jnp.int32, (1, GOL * I * 128), 1) & 127
 
         def iter_body(i, carry):
             slot = jax.lax.rem(i, 2)
@@ -204,19 +212,24 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
                             dec_ref[row:row + 128, :] = \
                                 lv[128 * R:128 * (R + 1), :].astype(jnp.int8)
 
-            # ---- external product. Bands for (component, limb) block
-            # ol+1 are sheared and window-assembled into the *other* a_ref
-            # buffer between issuing block ol's MXU dots and consuming
-            # their results, so the VPU band work hides under MXU time.
-            def build(ol, buf):
+            # ---- external product, leaf-major. Every (component, limb)
+            # operator contracts against the SAME leaf operand, so their
+            # band windows stack along MXU output rows: one deep dot per
+            # (leaf, component-limb group). Bands for the next dot are
+            # sheared and window-assembled into the *other* a_ref buffer
+            # between issuing this dot and consuming its result, hiding
+            # the VPU band work under MXU time.
+            def build(v, g, buf):
                 if _skip == "shear":
                     return
                 Pw = pltpu.bitcast(wbuf_ref[slot], jnp.int32)
                 cols = []
-                for g in range(L * I):
-                    p = ol * (L * I) + g
-                    cols.extend([Pw[:, C * p:C * (p + 1)]] * (128 // C))
-                P = jnp.concatenate(cols, axis=1)      # [Wg/4, LI*128]
+                for ol in range(g * GOL, (g + 1) * GOL):
+                    for j in range(I):
+                        p = (v * OL + ol) * I + j
+                        cols.extend([Pw[:, C * p:C * (p + 1)]]
+                                    * (128 // C))
+                P = jnp.concatenate(cols, axis=1)      # [Wg/4, GOL*I*128]
                 b = C
                 while b < 128:
                     rolled = pltpu.roll(P, b // 4, axis=0)
@@ -224,53 +237,52 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
                     b *= 2
                 # write 128-aligned row windows straight from the packed
                 # view (rows/4) — no intermediate band buffer
-                for v in range(L):
+                for oo in range(GOL):
                     for R in range(R_L):
                         win = P[(leaf_n - 128 * R) // 4:
                                 (2 * leaf_n - 128 * R) // 4,
-                                v * (I * 128):(v + 1) * (I * 128)]
-                        col0 = v * (I * leaf_n) + R * (I * 128)
-                        a_ref[buf, :, col0:col0 + I * 128] = \
+                                oo * (I * 128):(oo + 1) * (I * 128)]
+                        a_ref[buf, oo * leaf_n:(oo + 1) * leaf_n,
+                              R * (I * 128):(R + 1) * (I * 128)] = \
                             pltpu.bitcast(win, jnp.int8)
 
-            OL = (k + 1) * nlimbs
-            build(0, 0)
+            steps = [(v, g) for v in range(L) for g in range(NG)]
+            build(0, 0, 0)
+            # per-(component, output-chunk) u32 accumulators (limb shifts
+            # folded in as results arrive — smaller live state than per-
+            # (component, limb) int32 chunks)
+            updq = [[jnp.zeros((leaf_n, Bt), jnp.uint32)
+                     for _ in range(1 << depth)] for _ in range(k + 1)]
+            for si, (v, g) in enumerate(steps):
+                buf = si % 2
+                if _skip == "mxu":
+                    p32 = jnp.zeros((GOL * leaf_n, Bt), jnp.int32)
+                else:
+                    p32 = jax.lax.dot_general(
+                        a_ref[buf],
+                        dec_ref[v * (I * leaf_n):(v + 1) * (I * leaf_n), :],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                if si + 1 < len(steps):
+                    build(*steps[si + 1], 1 - buf)
+                for oo in range(GOL):
+                    ol = g * GOL + oo
+                    o, li = divmod(ol, nlimbs)
+                    slu = (p32[oo * leaf_n:(oo + 1) * leaf_n, :]
+                           .astype(jnp.uint32)
+                           << np.uint32(BK_LIMB_BITS * (li + drop_sh)))
+                    for q in quarters[v]:
+                        updq[o][q] = updq[o][q] + slu
             for o in range(k + 1):
-                upd = jnp.zeros((N, Bt), jnp.uint32)
-                for li in range(nlimbs):
-                    ol = o * nlimbs + li
-                    buf = ol % 2
-                    if _skip == "mxu":
-                        p32s = [jnp.zeros((leaf_n, Bt), jnp.int32)
-                                for _ in range(L)]
-                    else:
-                        p32s = [jax.lax.dot_general(
-                            a_ref[buf, :,
-                                  v * (I * leaf_n):(v + 1) * (I * leaf_n)],
-                            dec_ref[v * (I * leaf_n):
-                                    (v + 1) * (I * leaf_n), :],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32)
-                            for v in range(L)]
-                    if ol + 1 < OL:
-                        build(ol + 1, 1 - buf)
-                    chunks = [jnp.zeros((leaf_n, Bt), jnp.int32)
-                              for _ in range(1 << depth)]
-                    for v in range(L):
-                        for q in quarters[v]:
-                            chunks[q] = chunks[q] + p32s[v]
-                    pfull = (chunks[0] if depth == 0
-                             else jnp.concatenate(chunks, axis=0))
-                    upd = upd + (pfull.astype(jnp.uint32)
-                                 << np.uint32(BK_LIMB_BITS * (li + (
-                                     BK_NLIMBS - nlimbs))))
-                out_ref[o * N:(o + 1) * N, :] += upd
+                pfull = (updq[o][0] if depth == 0
+                         else jnp.concatenate(updq[o], axis=0))
+                out_ref[o * N:(o + 1) * N, :] += pfull
             return carry
 
         jax.lax.fori_loop(0, n0, iter_body, 0)
 
     return kernel, dict(N=N, n0=n0, k=k, I=I, G=G, W_g=W_g, L=L,
-                        leaf_n=leaf_n)
+                        leaf_n=leaf_n, GOL=GOL)
 
 
 @functools.partial(jax.jit,
@@ -322,7 +334,8 @@ def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((KP1N, B), jnp.uint32),
         scratch_shapes=[
             pltpu.VMEM((L * I * leaf_n, bt), jnp.int8),  # leaf operands
-            pltpu.VMEM((2, leaf_n, L * I * leaf_n), jnp.int8),  # windows x2
+            pltpu.VMEM((2, dims["GOL"] * leaf_n, I * leaf_n),
+                       jnp.int8),                        # stacked windows x2
             pltpu.VMEM((2, W_g, wext.shape[2]), jnp.int8),  # key buffer
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -351,11 +364,13 @@ def prepare_wext(bk: np.ndarray, params: GateParams,
                  nlimbs: int = BK_NLIMBS, depth: int = 0) -> np.ndarray:
     """BK [n0, (k+1)l, k+1, N] uint32 -> wext [n0, W_g, C*G] int8.
 
-    Column C*p+c (C = BK_COPIES, p = ((o*nlimbs+li)*L + v)*I + j) holds the
-    limb-decomposed extended generator of Karatsuba leaf v of key poly
-    (j, o), limb li, pre-rotated down by c — the low log2(C) bits of the
-    in-kernel shear, pre-applied so the kernel finishes the per-column
-    rotation with only log2(128/C) packed-int32 rolls.
+    Column C*p+c (C = BK_COPIES, p = (v*OL + o*nlimbs + li)*I + j,
+    OL = (k+1)*nlimbs — leaf-major so stacked-output dots read contiguous
+    column blocks) holds the limb-decomposed extended generator of
+    Karatsuba leaf v of key poly (j, o), limb li, pre-rotated down by c —
+    the low log2(C) bits of the in-kernel shear, pre-applied so the kernel
+    finishes the per-column rotation with only log2(128/C) packed-int32
+    rolls.
 
     The negacyclic extension and all Karatsuba generator combinations are
     computed in uint32 (exact mod 2^32) *before* balanced limb
@@ -383,11 +398,12 @@ def prepare_wext(bk: np.ndarray, params: GateParams,
     G = kp1 * nlimbs * L * I
     gp = -(-(C * G) // 128) * 128      # lane-align for DMA
     wext = np.zeros((n0, W_g, gp), dtype=np.int8)
-    for o in range(kp1):
-        for li in range(nlimbs):
-            for v in range(L):
+    OL = kp1 * nlimbs
+    for v in range(L):
+        for o in range(kp1):
+            for li in range(nlimbs):
                 for j in range(I):
-                    p = ((o * nlimbs + li) * L + v) * I + j
+                    p = (v * OL + o * nlimbs + li) * I + j
                     base = limbs[:, j, o, v, :, drop + li]  # [n0, W_g]
                     for c in range(C):
                         wext[:, :, C * p + c] = np.roll(base, c, axis=1)
