@@ -1,0 +1,101 @@
+"""Empirical phase-noise measurement — validates the correctness-noise
+claims behind each configuration (docs/DESIGN.md): decrypts gate outputs to
+their raw torus phase and reports the noise distribution around ±mu, plus
+the implied failure margin in sigmas.
+
+The reference has no noise tooling at all (tests only count wrong bits);
+production deployments need the margin, not just pass/fail.
+
+Usage: python benchmarks/noise.py [--batch 2048] [--params tfhepp_128bit]
+            [--backend auto]
+Prints one JSON line per configuration.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--params", default="tfhepp_128bit")
+    ap.add_argument("--backend", default="auto")
+    args = ap.parse_args()
+
+    import jax
+
+    from cufhe_tpu import PRESETS, golden as G
+    from cufhe_tpu.models import Context
+    from cufhe_tpu.models.api import encrypt_bits
+    from cufhe_tpu.utils import serialization as S
+
+    params = PRESETS[args.params]
+    here = os.path.dirname(os.path.abspath(__file__))
+    cache = os.path.join(os.path.dirname(here),
+                         f".bench_keys_{params.name}.npz"
+                         if args.params != "tfhepp_128bit"
+                         else ".bench_keys_128.npz")
+    sk_cache = cache.replace("keys", "sk")
+    if os.path.exists(cache) and os.path.exists(sk_cache):
+        ek, sk = S.load_eval_key(cache), S.load_secret_key(sk_cache)
+    else:
+        print("generating keys...", file=sys.stderr)
+        sk = G.keygen(params, seed=0)
+        ek = G.make_eval_key(sk, seed=1)
+        S.save_eval_key(cache, ek)
+        S.save_secret_key(sk_cache, sk)
+
+    ctx = Context(ek, backend=args.backend)
+    rng = np.random.default_rng(11)
+    B = args.batch
+    bits0 = rng.integers(0, 2, B)
+    bits1 = rng.integers(0, 2, B)
+    a = encrypt_bits(bits0, sk, rng)
+    b = encrypt_bits(bits1, sk, rng)
+    out = ctx.nand(a, b)
+
+    def phase_noise(ct_batch, want_bits):
+        data = np.asarray(jax.device_get(ct_batch.data))
+        mu = params.lvl0.mu
+        ph = np.array([G.tlwe_phase(ct, sk.lvl0) for ct in data],
+                      dtype=np.uint32).astype(np.int64)
+        ph[ph >= 1 << 31] -= 1 << 32               # centered representative
+        return ph - np.where(want_bits == 1, mu, -mu)
+
+    mu = params.lvl0.mu
+    noise = phase_noise(out, 1 - (bits0 & bits1))
+    std = float(noise.std())
+
+    # The operationally binding case: a gate whose BOTH inputs are
+    # bootstrapped outputs. XOR doubles the input coefficients, so it has
+    # the tightest margin: |2*n0 + 2*n1| must stay under mu.
+    outA = ctx.nand(a, b)                          # noise ~std each
+    outB = ctx.nand(b, a)
+    wantA = 1 - (bits0 & bits1)
+    x = ctx.xor(outA, outB)                        # wantA ^ wantA = 0
+    xn = phase_noise(x, np.zeros(B, dtype=int))
+    x_errors = int(np.sum(np.abs(xn) >= mu))
+
+    print(json.dumps({
+        "metric": "gate_output_phase_noise",
+        "params": params.name, "backend": args.backend, "batch": B,
+        "noise_std_log2": round(float(np.log2(std)), 2) if std else None,
+        "max_abs_noise_log2": round(float(np.log2(np.abs(noise).max())), 2),
+        "decrypt_margin_sigmas": round(mu / std, 2) if std else None,
+        "worst_gate_margin_sigmas":
+            round(mu / (2 * np.sqrt(2) * std), 2) if std else None,
+        "xor_of_bootstrapped_errors": x_errors,
+        "xor_noise_std_log2": round(float(np.log2(xn.std())), 2),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
