@@ -145,6 +145,9 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
         if OL % g == 0 and g * per_ol <= (12 << 20):
             GOL = g
     NG = OL // GOL
+    # 3 rotating window buffers: build(si+1) must not wait on the still-
+    # in-flight dot(si-1) that read the third buffer
+    NBUF = 3
     drop_sh = BK_NLIMBS - nlimbs
     off_const = np.uint32((lp.decomp_offset + lp.decomp_roundoffset)
                           % (1 << 32))
@@ -260,8 +263,23 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
             # (component, limb) int32 chunks)
             updq = [[jnp.zeros((leaf_n, Bt), jnp.uint32)
                      for _ in range(1 << depth)] for _ in range(k + 1)]
+
+            def place(v, g, p32):
+                for oo in range(GOL):
+                    ol = g * GOL + oo
+                    o, li = divmod(ol, nlimbs)
+                    slu = (p32[oo * leaf_n:(oo + 1) * leaf_n, :]
+                           .astype(jnp.uint32)
+                           << np.uint32(BK_LIMB_BITS * (li + drop_sh)))
+                    for q in quarters[v]:
+                        updq[o][q] = updq[o][q] + slu
+
+            # Placement of step si's result is deferred until step si+1's
+            # dot has been issued, so the MXU never waits behind the VPU
+            # placement adds; band building likewise runs in the shadow.
+            pending = None
             for si, (v, g) in enumerate(steps):
-                buf = si % 2
+                buf = si % NBUF
                 if _skip == "mxu":
                     p32 = jnp.zeros((GOL * leaf_n, Bt), jnp.int32)
                 else:
@@ -271,15 +289,11 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32)
                 if si + 1 < len(steps):
-                    build(*steps[si + 1], 1 - buf)
-                for oo in range(GOL):
-                    ol = g * GOL + oo
-                    o, li = divmod(ol, nlimbs)
-                    slu = (p32[oo * leaf_n:(oo + 1) * leaf_n, :]
-                           .astype(jnp.uint32)
-                           << np.uint32(BK_LIMB_BITS * (li + drop_sh)))
-                    for q in quarters[v]:
-                        updq[o][q] = updq[o][q] + slu
+                    build(*steps[si + 1], (si + 1) % NBUF)
+                if pending is not None:
+                    place(*pending)
+                pending = (v, g, p32)
+            place(*pending)
             for o in range(k + 1):
                 pfull = (updq[o][0] if depth == 0
                          else jnp.concatenate(updq[o], axis=0))
@@ -341,8 +355,8 @@ def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((KP1N, B), jnp.uint32),
         scratch_shapes=[
             pltpu.VMEM((L * I * leaf_n, bt), jnp.int8),  # leaf operands
-            pltpu.VMEM((2, dims["GOL"] * leaf_n, I * leaf_n),
-                       jnp.int8),                        # stacked windows x2
+            pltpu.VMEM((3, dims["GOL"] * leaf_n, I * leaf_n),
+                       jnp.int8),                        # stacked windows x3
             pltpu.VMEM((2, W_g, wext.shape[2]), jnp.int8),  # key buffer
             pltpu.SemaphoreType.DMA((2,)),
         ],
