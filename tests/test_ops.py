@@ -194,3 +194,30 @@ def test_refresh_and_not_bitexact(tiny_key, rng):
     ct = G.encrypt_bit(1, sk, rng)
     assert np.array_equal(np.asarray(B.not_gate(jnp.asarray(ct[None])))[0],
                           G.not_gate(ct))
+
+
+def test_bg10_two_limb_digit_split_gate(rng):
+    """USE_80BIT_SECURITY-style Bgbit=10 (Bg=1024): gadget digits exceed
+    int8 and split into two balanced limbs (decomp_digit_limb_plan) — the
+    conv backend must stay bit-exact vs the golden model."""
+    p = P.GateParams(
+        name="tiny-bg10-insecure-test",
+        lvl0=P.LweParams(n=12, k=1, alpha=0.0, mu=1 << 29),
+        lvl1=P.TrlweParams(nbit=6, k=1, l=2, Bgbit=10, alpha=0.0,
+                           mu=1 << 29),
+        ks=P.KeySwitchParams(t=4, basebit=2),
+    )
+    sk = G.keygen(p, seed=40)
+    ek = G.make_eval_key(sk, seed=41)
+    keys = K.prepare_keys(ek, backends=("conv",))
+    bits0, bits1 = [0, 1, 0, 1], [0, 0, 1, 1]
+    c0 = [G.encrypt_bit(b, sk, rng) for b in bits0]
+    c1 = [G.encrypt_bit(b, sk, rng) for b in bits1]
+    want = np.stack([G.gate_lvl0("nand", a, b, ek) for a, b in zip(c0, c1)])
+    got = np.asarray(B.gate_lvl0(G.GATE_CONSTANTS["nand"],
+                                 jnp.asarray(np.stack(c0)),
+                                 jnp.asarray(np.stack(c1)), keys, p,
+                                 backend="conv"))
+    assert np.array_equal(got, want)
+    assert [G.decrypt_bit(g, sk) for g in got] == \
+        [1 - (a & b) for a, b in zip(bits0, bits1)]
