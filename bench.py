@@ -24,8 +24,8 @@ def main() -> None:
     from cufhe_tpu.models import Context, encrypt_bits, decrypt_bits
     from cufhe_tpu.utils import serialization as S
 
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
-    iters = int(os.environ.get("BENCH_ITERS", "4"))
+    batch = int(os.environ.get("BENCH_BATCH", "4096"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
     backend = os.environ.get("BENCH_BACKEND", "auto")
     pname = os.environ.get("BENCH_PARAMS", "")
 
