@@ -58,7 +58,8 @@ def prepare_trgsw(trgsw: np.ndarray, params: GateParams) -> dict:
 
 
 def prepare_keys(ek: EvalKey, device=None,
-                 backends: Optional[tuple] = None) -> DeviceKeys:
+                 backends: Optional[tuple] = None,
+                 host: bool = False) -> DeviceKeys:
     """One-time host-side key conversion + upload (Initialize(ek) analogue,
     cufhe_gates_gpu.cu:42-47).
 
@@ -66,6 +67,10 @@ def prepare_keys(ek: EvalKey, device=None,
     ("pallas",) or ("conv", "toeplitz"). None = all (tests / dryruns).
     The conv-format BK is always built: CMUX single external products use it
     regardless of the blind-rotate backend.
+
+    host=True keeps the converted keys as NumPy arrays (no device
+    placement) — useful for compile-only checks where transferring
+    GB-scale pallas key material is wasted work.
     """
     p = ek.params
     n0 = p.lvl0.dim
@@ -103,8 +108,12 @@ def prepare_keys(ek: EvalKey, device=None,
     else:
         wext = np.zeros((0,), dtype=np.int8)
 
-    put = (lambda x: jax.device_put(jnp.asarray(np.ascontiguousarray(x)),
-                                    device)) if device is not None else \
-        (lambda x: jnp.asarray(np.ascontiguousarray(x)))
+    if host:
+        put = np.ascontiguousarray
+    elif device is not None:
+        put = lambda x: jax.device_put(
+            jnp.asarray(np.ascontiguousarray(x)), device)
+    else:
+        put = lambda x: jnp.asarray(np.ascontiguousarray(x))
     return DeviceKeys(bk_filters=put(filt), bk_limbs=put(bk_limbs),
                       ksk_limbs=put(ksk_limbs), bk_wext=put(wext))

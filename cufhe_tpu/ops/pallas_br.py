@@ -420,12 +420,14 @@ def prepare_wext(bk: np.ndarray, params: GateParams,
     gp = -(-(C * G) // 128) * 128      # lane-align for DMA
     wext = np.zeros((n0, W_g, gp), dtype=np.int8)
     OL = kp1 * nlimbs
+    # all C pre-rotated copies of a polynomial in one gather
+    rollidx = (np.arange(W_g)[None, :] - np.arange(C)[:, None]) % W_g
     for v in range(L):
         for o in range(kp1):
             for li in range(nlimbs):
                 for j in range(I):
                     p = (v * OL + o * nlimbs + li) * I + j
                     base = limbs[:, j, o, v, :, drop + li]  # [n0, W_g]
-                    for c in range(C):
-                        wext[:, :, C * p + c] = np.roll(base, c, axis=1)
+                    wext[:, :, C * p:C * (p + 1)] = \
+                        base[:, rollidx].transpose(0, 2, 1)
     return wext
