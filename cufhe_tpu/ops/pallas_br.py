@@ -82,15 +82,16 @@ def kar_depth(lp: TrlweParams, nlimbs: int = BK_NLIMBS) -> int:
     Overridable with CUFHE_KAR_DEPTH (benchmark A/B)."""
     env = os.environ.get("CUFHE_KAR_DEPTH", "")
     d = min(2, 8 - lp.Bgbit, lp.nbit - 7)
+    if env:
+        d = min(int(env), 8 - lp.Bgbit, lp.nbit - 7)
     if nlimbs < BK_NLIMBS:
         # The dropped-limb error of 'pallas3' multiplies with the Karatsuba
         # digit sums (2^depth): measured phase noise 2^26.8 at depth 2 vs
         # 2^25.0 at depth 0 (exact: 2^24.85) — depth>0 would push XOR-class
         # gates with two bootstrapped inputs past their decision margin.
-        # Karatsuba stays exact-mode-only for reduced-precision keys.
+        # Karatsuba stays exact-mode-only for reduced-precision keys, even
+        # under the CUFHE_KAR_DEPTH override.
         d = 0
-    if env:
-        d = min(int(env), lp.nbit - 7)
     return max(0, d)
 
 

@@ -68,7 +68,18 @@ def _load_native() -> Optional[ctypes.CDLL]:
     path = _build_native()
     if path is None:
         return None
-    lib = ctypes.CDLL(path)
+    try:
+        lib = ctypes.CDLL(path)
+        _bind_native(lib)
+    except OSError:
+        # corrupt/foreign-platform .so (e.g. stale build artifact): fall back
+        # to the pure-Python scheduler rather than crashing CircuitBuilder()
+        return None
+    _LIB = lib
+    return lib
+
+
+def _bind_native(lib: ctypes.CDLL) -> None:
     I32, P = ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)
     lib.cb_new.restype = ctypes.c_void_p
     lib.cb_free.argtypes = [ctypes.c_void_p]
@@ -98,8 +109,6 @@ def _load_native() -> Optional[ctypes.CDLL]:
     lib.cb_const_value.restype = I32
     lib.cb_wire_level.argtypes = [ctypes.c_void_p, I32]
     lib.cb_wire_level.restype = I32
-    _LIB = lib
-    return lib
 
 
 def native_available() -> bool:
