@@ -48,18 +48,17 @@ class TrlweCtxt:
 def encrypt_bits(bits: Sequence[int], sk: G.SecretKey,
                  rng: Optional[np.random.Generator] = None,
                  level: int = 0) -> Ctxt:
-    """Encrypt a list/array of bits into a ciphertext batch (client side)."""
+    """Encrypt a list/array of bits into a ciphertext batch (client side).
+    One RNG draw + one matmul for the whole batch (encrypt_bit_batch)."""
     rng = rng or np.random.default_rng()
-    cts = np.stack([G.encrypt_bit(int(b), sk, rng, level=level)
-                    for b in np.asarray(bits).ravel()])
-    return Ctxt(jnp.asarray(cts), level)
+    return Ctxt(jnp.asarray(G.encrypt_bit_batch(bits, sk, rng, level=level)),
+                level)
 
 
 def decrypt_bits(ct: Ctxt, sk: G.SecretKey) -> np.ndarray:
     """Decrypt a ciphertext batch to a bit array (client side)."""
     data = np.asarray(jax.device_get(ct.data))
-    return np.array([G.decrypt_bit(c, sk, level=ct.level) for c in data],
-                    dtype=np.int64)
+    return G.decrypt_bit_batch(data, sk, level=ct.level)
 
 
 class Context:
@@ -80,6 +79,7 @@ class Context:
         keys = K.prepare_keys(ek, backends=(resolved,))
         self.keys = M.replicate(keys, mesh) if mesh is not None else keys
         self._cache = {}
+        self._dev_keys = {}
 
     # -- program construction -------------------------------------------
     def _shard(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -87,13 +87,40 @@ class Context:
             return M.shard_batch(x, self.mesh)
         return x
 
-    def _jit(self, key, fn):
+    def _place(self, x: jnp.ndarray, stream) -> jnp.ndarray:
+        """Stream-pinned placement (CtxtCopyH2D onto the stream's device,
+        cufhe_gpu.cuh:193-199) or mesh sharding."""
+        if stream is not None:
+            return jax.device_put(x, stream.device)
+        return self._shard(x)
+
+    def _keys_for(self, stream):
+        """Per-device key replica for stream dispatch — the reference
+        uploads keys to every GPU at Initialize (bootstrap_gpu.cu:115-137);
+        here replicas materialize lazily per stream device."""
+        if stream is None:
+            return self.keys
+        if self.mesh is not None:
+            raise ValueError("stream dispatch and mesh sharding are "
+                             "mutually exclusive on one Context")
+        dev = stream.device
+        if dev not in self._dev_keys:
+            self._dev_keys[dev] = jax.device_put(self.keys, dev)
+        return self._dev_keys[dev]
+
+    def _jit(self, key, fn, batch_argnums=None):
+        """jit `fn`; with a mesh and batch_argnums, first wrap it in
+        shard_map over the data axis (replicated keys/constants) so the
+        Pallas production kernel partitions per-device instead of relying
+        on XLA auto-partitioning of an opaque custom call."""
         if key not in self._cache:
+            if self.mesh is not None and batch_argnums is not None:
+                fn = M.data_parallel(fn, self.mesh, batch_argnums)
             self._cache[key] = jax.jit(fn)
         return self._cache[key]
 
     # -- two-input gates --------------------------------------------------
-    def gate(self, name: str, in0: Ctxt, in1: Ctxt) -> Ctxt:
+    def gate(self, name: str, in0: Ctxt, in1: Ctxt, stream=None) -> Ctxt:
         """Evaluate one of the 10 bootstrapped two-input gates on a batch.
 
         The gate's linear-combination constants are runtime uint32 operands,
@@ -116,12 +143,33 @@ class Context:
         fn = B.gate_lvl0 if level == 0 else B.gate_lvl1
         prog = self._jit(("gate", level),
                          lambda c, a, b, keys: fn(c, a, b, keys=keys,
-                                                  params=p, backend=bk))
-        return Ctxt(prog(c3, self._shard(in0.data), self._shard(in1.data),
-                         self.keys), level)
+                                                  params=p, backend=bk),
+                         batch_argnums=(1, 2))
+        out = Ctxt(prog(c3, self._place(in0.data, stream),
+                        self._place(in1.data, stream),
+                        self._keys_for(stream)), level)
+        if stream is not None:
+            stream.record(out)
+        return out
+
+    def gate_rows(self, c3_rows: jnp.ndarray, in0: Ctxt, in1: Ctxt) -> Ctxt:
+        """Heterogeneous two-input gate batch: row i of `c3_rows`
+        ([B, 3] uint32 from encode_gate_consts_rows) selects gate i's
+        linear-combination constants. One compiled program per (level,
+        batch shape) evaluates ANY mix of the ten gates — the executor
+        fuses a whole circuit level into one call with this."""
+        level = in0.level
+        p, bk = self.params, self.backend
+        fn = B.gate_lvl0 if level == 0 else B.gate_lvl1
+        prog = self._jit(("gate_rows", level),
+                         lambda c, a, b, keys: fn(c, a, b, keys=keys,
+                                                  params=p, backend=bk),
+                         batch_argnums=(0, 1, 2))
+        return Ctxt(prog(jnp.asarray(c3_rows), self._shard(in0.data),
+                         self._shard(in1.data), self.keys), level)
 
     def mux(self, inc: Ctxt, in1: Ctxt, in0: Ctxt,
-            negate: bool = False) -> Ctxt:
+            negate: bool = False, stream=None) -> Ctxt:
         """Mux(inc ? in1 : in0) / NMux — two blind rotations
         (bootstrap_gpu.cu:514-588)."""
         if not (inc.level == in1.level == in0.level):
@@ -132,12 +180,18 @@ class Context:
         prog = self._jit(("mux", level, negate),
                          lambda c, x1, x0, keys: fn(c, x1, x0, keys, p,
                                                     negate=negate,
-                                                    backend=bk))
-        return Ctxt(prog(self._shard(inc.data), self._shard(in1.data),
-                         self._shard(in0.data), self.keys), level)
+                                                    backend=bk),
+                         batch_argnums=(0, 1, 2))
+        out = Ctxt(prog(self._place(inc.data, stream),
+                        self._place(in1.data, stream),
+                        self._place(in0.data, stream),
+                        self._keys_for(stream)), level)
+        if stream is not None:
+            stream.record(out)
+        return out
 
-    def nmux(self, inc: Ctxt, in1: Ctxt, in0: Ctxt) -> Ctxt:
-        return self.mux(inc, in1, in0, negate=True)
+    def nmux(self, inc: Ctxt, in1: Ctxt, in0: Ctxt, stream=None) -> Ctxt:
+        return self.mux(inc, in1, in0, negate=True, stream=stream)
 
     # -- linear gates -------------------------------------------------------
     def not_(self, ct: Ctxt) -> Ctxt:
@@ -155,13 +209,15 @@ class Context:
     def cmux(self, trgsw_dev: dict, c1: TrlweCtxt, c0: TrlweCtxt) -> TrlweCtxt:
         prog = self._jit(("cmux",),
                          lambda x1, x0, tg: B.cmux(tg, x1, x0, self.params,
-                                                   self.backend))
+                                                   self.backend),
+                         batch_argnums=(0, 1))
         return TrlweCtxt(prog(c1.data, c0.data, trgsw_dev))
 
     def refresh(self, tr: TrlweCtxt) -> TrlweCtxt:
         prog = self._jit(("refresh",),
                          lambda x, keys: B.refresh(x, keys, self.params,
-                                                   self.backend))
+                                                   self.backend),
+                         batch_argnums=(0,))
         return TrlweCtxt(prog(tr.data, self.keys))
 
     def bootstrap_tlwe2trlwe(self, ct: Ctxt, mu: Optional[int] = None
@@ -169,22 +225,24 @@ class Context:
         mu = self.params.lvl1.mu if mu is None else mu
         prog = self._jit(("b2t", mu),
                          lambda x, keys: B.bootstrap_tlwe2trlwe(
-                             x, mu, keys, self.params, self.backend))
+                             x, mu, keys, self.params, self.backend),
+                         batch_argnums=(0,))
         return TrlweCtxt(prog(self._shard(ct.data), self.keys))
 
     def sample_extract_and_keyswitch(self, tr: TrlweCtxt) -> Ctxt:
         prog = self._jit(("seiks",),
-                         lambda x, keys: B.sei_and_ks(x, keys, self.params))
+                         lambda x, keys: B.sei_and_ks(x, keys, self.params),
+                         batch_argnums=(0,))
         return Ctxt(prog(tr.data, self.keys), 0)
 
     # -- named gate shorthands (the reference's public gate list) ---------
-    def nand(self, a, b): return self.gate("nand", a, b)
-    def nor(self, a, b): return self.gate("nor", a, b)
-    def xnor(self, a, b): return self.gate("xnor", a, b)
-    def and_(self, a, b): return self.gate("and", a, b)
-    def or_(self, a, b): return self.gate("or", a, b)
-    def xor(self, a, b): return self.gate("xor", a, b)
-    def and_ny(self, a, b): return self.gate("andny", a, b)
-    def and_yn(self, a, b): return self.gate("andyn", a, b)
-    def or_ny(self, a, b): return self.gate("orny", a, b)
-    def or_yn(self, a, b): return self.gate("oryn", a, b)
+    def nand(self, a, b, stream=None): return self.gate("nand", a, b, stream=stream)
+    def nor(self, a, b, stream=None): return self.gate("nor", a, b, stream=stream)
+    def xnor(self, a, b, stream=None): return self.gate("xnor", a, b, stream=stream)
+    def and_(self, a, b, stream=None): return self.gate("and", a, b, stream=stream)
+    def or_(self, a, b, stream=None): return self.gate("or", a, b, stream=stream)
+    def xor(self, a, b, stream=None): return self.gate("xor", a, b, stream=stream)
+    def and_ny(self, a, b, stream=None): return self.gate("andny", a, b, stream=stream)
+    def and_yn(self, a, b, stream=None): return self.gate("andyn", a, b, stream=stream)
+    def or_ny(self, a, b, stream=None): return self.gate("orny", a, b, stream=stream)
+    def or_yn(self, a, b, stream=None): return self.gate("oryn", a, b, stream=stream)

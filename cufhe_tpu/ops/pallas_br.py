@@ -349,7 +349,7 @@ def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((KP1N, bt), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((KP1N, bt), lambda b: (0, b),
                                memory_space=pltpu.VMEM),

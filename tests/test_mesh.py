@@ -1,0 +1,110 @@
+"""Multi-device coverage of the PRODUCTION (Pallas) path.
+
+The reference's multi-GPU gate test (test_gate_gpu_multi.cc:36-85) runs the
+real bootstrap kernel on every device. Here the equivalent property is that
+the fused Pallas blind-rotation kernel partitions over the data axis of an
+8-device mesh via shard_map — bit-identically to the unsharded program, with
+zero inter-device collectives in the compiled HLO (gate evaluation is
+embarrassingly parallel; keys are replicated).
+"""
+import jax
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec
+
+from cufhe_tpu import golden as G
+from cufhe_tpu import params as P
+from cufhe_tpu.models.api import Context, Ctxt, decrypt_bits, encrypt_bits
+from cufhe_tpu.ops import bootstrap as B
+from cufhe_tpu.parallel.mesh import data_mesh, data_parallel
+
+COLLECTIVES = ("all-reduce", "all-gather", "all-to-all", "collective-permute",
+               "reduce-scatter")
+
+
+@pytest.fixture(scope="module")
+def pallas_key():
+    sk = G.keygen(P.PALLAS_TINY, seed=11)
+    ek = G.make_eval_key(sk, seed=12)
+    return sk, ek
+
+
+def test_pallas_gate_sharded_matches_unsharded(pallas_key, rng):
+    """PALLAS_TINY resolves backend 'auto' -> 'pallas' (N=128): this runs
+    the production kernel per-shard on all 8 devices."""
+    sk, ek = pallas_key
+    assert B.resolve_backend("auto", ek.params) == "pallas"
+    assert len(jax.devices()) == 8
+    mesh = data_mesh()
+    ctx_m = Context(ek, mesh=mesh)
+    ctx_s = Context(ek)
+    bits0 = [i & 1 for i in range(16)]
+    bits1 = [(i >> 1) & 1 for i in range(16)]
+    a = encrypt_bits(bits0, sk, rng)
+    b = encrypt_bits(bits1, sk, rng)
+    out_m = ctx_m.nand(a, b)
+    out_s = ctx_s.nand(a, b)
+    assert np.array_equal(np.asarray(out_m.data), np.asarray(out_s.data))
+    assert len(out_m.data.sharding.device_set) == 8
+    assert decrypt_bits(out_m, sk).tolist() == \
+        [1 - (x & y) for x, y in zip(bits0, bits1)]
+
+
+def test_pallas_gate_sharded_no_collectives(pallas_key, rng):
+    """The sharded gate program must contain zero collective ops — the
+    ≥80%-scaling story rests on gate eval being communication-free
+    (SURVEY.md §2 parallelism table)."""
+    sk, ek = pallas_key
+    mesh = data_mesh()
+    ctx = Context(ek, mesh=mesh)
+    a = encrypt_bits([1] * 16, sk, rng)
+    b = encrypt_bits([1] * 16, sk, rng)
+    out = ctx.nand(a, b)  # populates the program cache
+    prog = ctx._cache[("gate", 0)]
+    c3 = B.encode_gate_consts(G.GATE_CONSTANTS["nand"], ek.params.lvl0.mu)
+    hlo = prog.lower(c3, ctx._shard(a.data), ctx._shard(b.data),
+                     ctx.keys).compile().as_text()
+    for coll in COLLECTIVES:
+        assert coll not in hlo, f"unexpected collective {coll} in gate HLO"
+    assert len(out.data.sharding.device_set) == 8
+
+
+def test_pallas_k2_sharded_matches_unsharded(rng):
+    """CONCRETE-style k=2 shape through the sharded pallas path."""
+    sk = G.keygen(P.PALLAS_TINY_K2, seed=13)
+    ek = G.make_eval_key(sk, seed=14)
+    assert B.resolve_backend("auto", ek.params) == "pallas"
+    mesh = data_mesh()
+    ctx_m = Context(ek, mesh=mesh)
+    ctx_s = Context(ek)
+    bits0 = [1, 0, 1, 1, 0, 0, 1, 0]
+    bits1 = [1, 1, 0, 1, 0, 1, 0, 0]
+    a = encrypt_bits(bits0, sk, rng)
+    b = encrypt_bits(bits1, sk, rng)
+    out_m = ctx_m.xor(a, b)
+    out_s = ctx_s.xor(a, b)
+    assert np.array_equal(np.asarray(out_m.data), np.asarray(out_s.data))
+    assert decrypt_bits(out_m, sk).tolist() == \
+        [x ^ y for x, y in zip(bits0, bits1)]
+
+
+def test_data_parallel_preserves_output_sharding(pallas_key, rng):
+    """Direct shard_map wrap of gate_lvl0 (what dryrun_multichip runs)."""
+    sk, ek = pallas_key
+    p = ek.params
+    mesh = data_mesh()
+    from cufhe_tpu.ops import keys as K
+    keys = jax.device_put(K.prepare_keys(ek, backends=("pallas",)),
+                          NamedSharding(mesh, PartitionSpec()))
+    shard = NamedSharding(mesh, PartitionSpec("data"))
+    a = jax.device_put(encrypt_bits([1] * 8, sk, rng).data, shard)
+    b = jax.device_put(encrypt_bits([0, 1] * 4, sk, rng).data, shard)
+
+    fn = lambda x, y, k: B.gate_lvl0(G.GATE_CONSTANTS["nand"], x, y, k, p,
+                                     backend="pallas")
+    out = jax.jit(data_parallel(fn, mesh, (0, 1)))(a, b, keys)
+    out.block_until_ready()
+    assert out.sharding.spec == PartitionSpec("data")
+    ref = np.stack([G.gate_lvl0("nand", np.asarray(a)[i], np.asarray(b)[i],
+                                ek) for i in range(8)])
+    assert np.array_equal(np.asarray(out), ref)
