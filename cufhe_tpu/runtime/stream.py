@@ -10,13 +10,22 @@ completion-polling pattern (test_intensive.cc:21-54) ports directly.
 """
 from __future__ import annotations
 
+import weakref
 from typing import List, Optional
 
 import jax
 
+#: Live streams, for the global Synchronize() sweep (cufhe_gpu.cuh:68-74
+#: loops all devices; here we drain every lane that still has work).
+_live: "weakref.WeakSet[Stream]" = weakref.WeakSet()
+
 
 class Stream:
-    """An ordered lane of asynchronously dispatched gate results."""
+    """An ordered lane of asynchronously dispatched gate results, pinned to
+    one device. Passing a Stream to a Context gate places the inputs (and a
+    per-device replica of the keys) on `stream.device` and records the
+    output here — the reference's round-robin multi-GPU dispatch
+    (cufhe_gpu.cuh:152-189) with real placement semantics."""
 
     _count = 0
 
@@ -28,6 +37,7 @@ class Stream:
             devs[Stream._count % len(devs)]
         Stream._count += 1
         self._pending: List[object] = []
+        _live.add(self)
 
     def record(self, *cts) -> None:
         """Track ciphertexts produced on this stream (gate outputs)."""
@@ -61,15 +71,10 @@ def stream_query(stream: Stream) -> bool:
 
 
 def synchronize(*streams: Stream) -> None:
-    """Synchronize() analogue: with no arguments, drain every pending
-    computation on all local devices; with streams, drain those lanes."""
-    if streams:
-        for st in streams:
-            st.synchronize()
-        return
-    # jax has no global device sync; effectively, blocking on a trivially
-    # new computation per device serializes behind all prior work.
-    import numpy as np
-    import jax.numpy as jnp
-    for d in jax.devices():
-        np.asarray(jax.device_get(jax.device_put(jnp.zeros((1,)), d)))
+    """Synchronize() analogue: with no arguments, drain every live stream's
+    recorded work; with streams, drain those lanes. (JAX has no global
+    device barrier — a fresh device_put is NOT ordered behind previously
+    dispatched computations — so the global form is defined over the work
+    actually recorded on Stream lanes.)"""
+    for st in streams if streams else list(_live):
+        st.synchronize()

@@ -139,6 +139,32 @@ def test_stream_query_and_synchronize(tiny_key, rng):
     synchronize()  # global form runs without error
 
 
+def test_streams_execute_on_their_devices(tiny_key, rng):
+    """Two streams round-robin onto different devices and the gates really
+    run there (reference multi-GPU stream dispatch, cufhe_gpu.cuh:152-189):
+    the outputs' device buffers live on each stream's device."""
+    import jax
+    sk, ek = tiny_key
+    devs = jax.devices()
+    assert len(devs) >= 2
+    ctx = Context(ek)
+    st0, st1 = Stream(device=devs[0]), Stream(device=devs[1])
+    a = encrypt_bits([1, 0], sk, rng)
+    b = encrypt_bits([1, 1], sk, rng)
+    out0 = ctx.nand(a, b, stream=st0)
+    out1 = ctx.nand(a, b, stream=st1)
+    assert out0.data.devices() == {devs[0]}
+    assert out1.data.devices() == {devs[1]}
+    # per-device key replicas were materialized lazily
+    assert set(ctx._dev_keys) == {devs[0], devs[1]}
+    synchronize(st0, st1)
+    assert decrypt_bits(out0, sk).tolist() == [0, 1]
+    assert decrypt_bits(out1, sk).tolist() == [0, 1]
+    # device-resident chaining stays on the stream's device
+    out2 = ctx.nand(out1, out1, stream=st1)
+    assert out2.data.devices() == {devs[1]}
+
+
 def test_bristol_two_bit_adder(tiny_key, rng):
     """Parse and execute a hand-written Bristol Fashion 2-bit adder
     (a + b -> 3-bit sum) against plaintext addition."""
