@@ -67,6 +67,25 @@ def tlwe_encrypt(mu: int, key: np.ndarray, alpha: float,
     return np.concatenate([a, np.array([b], dtype=np.uint32)])
 
 
+def tlwe_encrypt_batch(mus: np.ndarray, key: np.ndarray, alpha: float,
+                       rng: np.random.Generator) -> np.ndarray:
+    """Batch TLWE encryption: [B] torus messages -> [B, d+1] samples.
+
+    One RNG draw and one matmul for the whole batch — the client-side
+    analogue of the reference's per-gate H2D batching. Bit-compatible with
+    per-sample tlwe_encrypt (same distribution; different RNG stream
+    consumption order)."""
+    mus = np.asarray(mus, dtype=np.uint32)
+    d = key.shape[0]
+    a = rng.integers(0, _MOD, size=(mus.shape[0], d),
+                     dtype=np.uint64).astype(np.uint32)
+    e = _gaussian_torus(rng, alpha, mus.shape[0])
+    # <a, s> with a < 2^32, s in {0,1}, d <= 2048: fits int64 exactly
+    b = _u32(a.astype(np.int64) @ key.astype(np.int64)
+             + mus.astype(np.int64) + e.astype(np.int64))
+    return np.concatenate([a, b[:, None]], axis=1)
+
+
 def tlwe_phase(ct: np.ndarray, key: np.ndarray) -> np.uint32:
     d = key.shape[0]
     return _u32(int(ct[d]) - int(np.sum(ct[:d].astype(np.int64)
@@ -94,6 +113,28 @@ def decrypt_bit(ct: np.ndarray, sk: SecretKey, level: int = 0) -> int:
     return tlwe_decrypt(ct, key)
 
 
+def encrypt_bit_batch(bits: np.ndarray, sk: SecretKey,
+                      rng: np.random.Generator, level: int = 0) -> np.ndarray:
+    """Encrypt a bit array as ±mu in one batch draw: [B, d+1] uint32."""
+    p = sk.params
+    lp = p.lvl0 if level == 0 else p.lvl1
+    key = sk.lvl0 if level == 0 else sk.lvl1.reshape(-1)
+    bits = np.asarray(bits).ravel()
+    mus = np.where(bits == 1, U32(lp.mu), U32((-lp.mu) % _MOD))
+    return tlwe_encrypt_batch(mus, key, lp.alpha, rng)
+
+
+def decrypt_bit_batch(cts: np.ndarray, sk: SecretKey,
+                      level: int = 0) -> np.ndarray:
+    """Decrypt [B, d+1] ciphertexts to a bit array in one matmul."""
+    key = sk.lvl0 if level == 0 else sk.lvl1.reshape(-1)
+    d = key.shape[0]
+    cts = np.asarray(cts)
+    phase = _u32(cts[:, d].astype(np.int64)
+                 - cts[:, :d].astype(np.int64) @ key.astype(np.int64))
+    return (phase.astype(np.int32) > 0).astype(np.int64)
+
+
 # ---------------------------------------------------------------------------
 # Polynomial arithmetic in Z_{2^32}[X]/(X^N + 1)
 # ---------------------------------------------------------------------------
@@ -110,6 +151,41 @@ def negacyclic_polymul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     out = full[:n].copy()
     out[: n - 1] -= full[n:]
     return out
+
+
+def _negacyclic_matrix(s: np.ndarray) -> np.ndarray:
+    """[N, N] matrix S with (a @ S) = negacyclic_polymul(a, s) for binary s.
+    S[u, v] = s[(v-u) mod N] * (-1 if v < u else 1)."""
+    n = s.shape[0]
+    u = np.arange(n)[:, None]
+    v = np.arange(n)[None, :]
+    S = s[(v - u) % n].astype(np.int64)
+    return np.where(v < u, -S, S)
+
+
+def _binary_key_polymul_batch(a: np.ndarray, s: np.ndarray) -> np.ndarray:
+    """Exact batched negacyclic product a[i] * s for uint32 a, binary s.
+
+    Computed as two float64 BLAS matmuls on 16-bit limbs of `a` (each
+    partial sum < 2^16 * N <= 2^26 so float64 is exact), recombined in
+    int64 — ~100x faster than np.convolve per row and still bit-exact."""
+    S = _negacyclic_matrix(s).astype(np.float64)
+    lo = (a & np.uint32(0xFFFF)).astype(np.float64)
+    hi = (a >> np.uint32(16)).astype(np.float64)
+    return ((hi @ S).astype(np.int64) << 16) + (lo @ S).astype(np.int64)
+
+
+def trlwe_encrypt_zero_batch(m: int, p: TrlweParams, key: np.ndarray,
+                             rng: np.random.Generator) -> np.ndarray:
+    """m TRLWE encryptions of 0 in one draw: [m, k+1, N] uint32."""
+    N, k = p.n, p.k
+    a = rng.integers(0, _MOD, size=(m, k, N),
+                     dtype=np.uint64).astype(np.uint32)
+    b = np.zeros((m, N), dtype=np.int64)
+    for j in range(k):
+        b += _binary_key_polymul_batch(a[:, j], key[j])
+    b = _u32(b + _gaussian_torus(rng, p.alpha, (m, N)).astype(np.int64))
+    return np.concatenate([a, b[:, None, :].astype(np.uint32)], axis=1)
 
 
 def trlwe_encrypt_zero(p: TrlweParams, key: np.ndarray,
@@ -179,23 +255,41 @@ class EvalKey:
 
 
 def make_eval_key(sk: SecretKey, seed: int = 1) -> EvalKey:
+    """Vectorized keygen: all n0*(k+1)*l BK zero-TRLWEs and all d1*t*numbase
+    KSK samples are drawn/combined as single batched operations (seconds for
+    the 128-bit set vs minutes with per-sample loops). Semantics match the
+    scalar trgsw_encrypt/tlwe_encrypt path (same distributions)."""
     p = sk.params
     rng = np.random.default_rng(seed)
     n0 = p.lvl0.dim
-    bk = np.stack([trgsw_encrypt(int(sk.lvl0[i]), p.lvl1, sk.lvl1, rng)
-                   for i in range(n0)], axis=0)
+    lp = p.lvl1
+    k, l, N = lp.k, lp.l, lp.n
+    rows = (k + 1) * l
 
+    # BK: bk[i, j*l+d] = TRLWE(0) + sk0[i] * 2^(32-(d+1)Bgbit) on
+    # component j, coefficient 0 (trgsw_encrypt gadget convention).
+    zeros = trlwe_encrypt_zero_batch(n0 * rows, lp, sk.lvl1, rng)
+    bk = zeros.reshape(n0, rows, k + 1, N)
+    h = (np.uint64(1) << np.uint64(32) - np.uint64(lp.Bgbit)
+         * (np.arange(l, dtype=np.uint64) + 1)).astype(np.uint32)  # [l]
+    gad = (sk.lvl0[:, None].astype(np.uint64)
+           * h[None, :].astype(np.uint64)).astype(np.uint32)       # [n0, l]
+    j_idx = np.repeat(np.arange(k + 1), l)          # component of row j*l+d
+    d_idx = np.tile(np.arange(l), k + 1)
+    bk[:, np.arange(rows), j_idx, 0] += gad[:, d_idx]
+
+    # KSK: ksk[j, dig, m] = TLWE(dom[j] * (m+1) * 2^(32-(dig+1)basebit)).
     kp = p.ks
     dom = sk.lvl1.reshape(-1)  # extracted-LWE key = lvl1 coefficients in order
     d1 = dom.shape[0]
-    ksk = np.zeros((d1, kp.t, kp.numbase, n0 + 1), dtype=np.uint32)
-    for j in range(d1):
-        for dig in range(kp.t):
-            for m in range(kp.numbase):
-                mu = (int(dom[j]) * (m + 1)
-                      * (1 << (32 - (dig + 1) * kp.basebit))) % _MOD
-                ksk[j, dig, m] = tlwe_encrypt(mu, sk.lvl0, p.lvl0.alpha, rng)
-    return EvalKey(p, bk, ksk)
+    shift = (np.uint64(32) - np.uint64(kp.basebit)
+             * (np.arange(kp.t, dtype=np.uint64) + 1))
+    scale = ((np.arange(kp.numbase, dtype=np.uint64) + 1)[None, :]
+             << shift[:, None])                     # [t, numbase] (mod 2^64)
+    mus = (dom.astype(np.uint64)[:, None, None]
+           * scale[None, :, :]).astype(np.uint32)   # [d1, t, numbase]
+    ksk = tlwe_encrypt_batch(mus.reshape(-1), sk.lvl0, p.lvl0.alpha, rng)
+    return EvalKey(p, bk, ksk.reshape(d1, kp.t, kp.numbase, n0 + 1))
 
 
 # ---------------------------------------------------------------------------
