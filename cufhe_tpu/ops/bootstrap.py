@@ -121,6 +121,11 @@ def _gate_coeffs(gate_consts, mu: int):
     if isinstance(gate_consts, (tuple, list)):
         ca, cb, om = gate_consts
         return _u(ca), _u(cb), _u(om * mu)
+    if gate_consts.ndim == 2:
+        # per-row constants [B, 3]: one compiled program evaluates a MIX of
+        # two-input gates in a single batch (executor level fusion) —
+        # shapes broadcast against [B, dim+1] ciphertexts
+        return (gate_consts[:, 0:1], gate_consts[:, 1:2], gate_consts[:, 2])
     return gate_consts[0], gate_consts[1], gate_consts[2]
 
 
@@ -130,6 +135,19 @@ def encode_gate_consts(gate_consts, mu: int):
     ca, cb, om = gate_consts
     return jnp.asarray(np.array([ca % (1 << 32), cb % (1 << 32),
                                  (om * mu) % (1 << 32)], dtype=np.uint32))
+
+
+def encode_gate_consts_rows(names, mu: int):
+    """[len(names), 3] uint32 per-row constants: row i encodes gate
+    names[i]. Feeding this as `gate_consts` evaluates a heterogeneous mix
+    of two-input gates in one compiled program (executor level fusion)."""
+    import numpy as np
+    from ..golden import GATE_CONSTANTS
+    rows = np.empty((len(names), 3), dtype=np.uint32)
+    for i, nm in enumerate(names):
+        ca, cb, om = GATE_CONSTANTS[nm]
+        rows[i] = (ca % (1 << 32), cb % (1 << 32), (om * mu) % (1 << 32))
+    return rows
 
 
 def _pre_add(in0, in1, ca_u, cb_u, off_u, dim):
