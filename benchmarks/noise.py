@@ -22,39 +22,52 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=2048)
-    ap.add_argument("--params", default="tfhepp_128bit")
-    ap.add_argument("--backend", default="auto")
-    args = ap.parse_args()
+#: Documented margin floors per shipping configuration (sigmas of worst-
+#: gate decision margin, measured in round 1 at 6.3 / 5.2): the suite fails
+#: red if a change dips below these — perf work cannot silently trade away
+#: correctness margin (the pallas3+Karatsuba incident, docs/DESIGN.md).
+MARGIN_FLOORS = {
+    "tfhepp_128bit": 6.0,
+    "tfhepp_128bit_bg8": 5.0,
+}
 
-    import jax
 
-    from cufhe_tpu import PRESETS, golden as G
-    from cufhe_tpu.models import Context
-    from cufhe_tpu.models.api import encrypt_bits
+def load_keys(params):
+    """Load or create the cached key pair for a preset."""
+    from cufhe_tpu import golden as G
     from cufhe_tpu.utils import serialization as S
-
-    params = PRESETS[args.params]
     here = os.path.dirname(os.path.abspath(__file__))
     cache = os.path.join(os.path.dirname(here),
                          f".bench_keys_{params.name}.npz"
-                         if args.params != "tfhepp_128bit"
+                         if params.name != "tfhepp_128bit"
                          else ".bench_keys_128.npz")
     sk_cache = cache.replace("keys", "sk")
     if os.path.exists(cache) and os.path.exists(sk_cache):
-        ek, sk = S.load_eval_key(cache), S.load_secret_key(sk_cache)
-    else:
-        print("generating keys...", file=sys.stderr)
-        sk = G.keygen(params, seed=0)
-        ek = G.make_eval_key(sk, seed=1)
-        S.save_eval_key(cache, ek)
-        S.save_secret_key(sk_cache, sk)
+        return S.load_eval_key(cache), S.load_secret_key(sk_cache)
+    print(f"generating {params.name} keys (one-time)...", file=sys.stderr)
+    sk = G.keygen(params, seed=0)
+    ek = G.make_eval_key(sk, seed=1)
+    S.save_eval_key(cache, ek)
+    S.save_secret_key(sk_cache, sk)
+    return ek, sk
 
-    ctx = Context(ek, backend=args.backend)
+
+def measure_noise(params, backend: str = "auto", batch: int = 2048,
+                  ek=None, sk=None) -> dict:
+    """Measure gate-output phase noise + worst-gate margin for a preset.
+    Returns the JSON record (importable: suite.py uses this as a
+    regression gate)."""
+    import jax
+
+    from cufhe_tpu import golden as G
+    from cufhe_tpu.models import Context
+    from cufhe_tpu.models.api import encrypt_bits
+
+    if ek is None or sk is None:
+        ek, sk = load_keys(params)
+    ctx = Context(ek, backend=backend)
     rng = np.random.default_rng(11)
-    B = args.batch
+    B = batch
     bits0 = rng.integers(0, 2, B)
     bits1 = rng.integers(0, 2, B)
     a = encrypt_bits(bits0, sk, rng)
@@ -83,9 +96,9 @@ def main():
     xn = phase_noise(x, np.zeros(B, dtype=int))
     x_errors = int(np.sum(np.abs(xn) >= mu))
 
-    print(json.dumps({
+    return {
         "metric": "gate_output_phase_noise",
-        "params": params.name, "backend": args.backend, "batch": B,
+        "params": params.name, "backend": backend, "batch": B,
         "noise_std_log2": round(float(np.log2(std)), 2) if std else None,
         "max_abs_noise_log2": round(float(np.log2(np.abs(noise).max())), 2),
         "decrypt_margin_sigmas": round(mu / std, 2) if std else None,
@@ -94,7 +107,18 @@ def main():
         "xor_of_bootstrapped_errors": x_errors,
         "xor_noise_std_log2": round(float(np.log2(xn.std())), 2),
         "device": str(jax.devices()[0]),
-    }))
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--params", default="tfhepp_128bit")
+    ap.add_argument("--backend", default="auto")
+    args = ap.parse_args()
+    from cufhe_tpu import PRESETS
+    print(json.dumps(measure_noise(PRESETS[args.params], args.backend,
+                                   args.batch)))
 
 
 if __name__ == "__main__":

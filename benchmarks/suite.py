@@ -5,6 +5,9 @@
   refresh  TRLWE->TRLWE noise refresh  (reference test_perf.cc:18-87)
   cmux     TRGSW-select on TRLWE pairs (reference test_cmux.cc:42-126)
   kernels  blind-rotate-only and keyswitch-only microbenchmarks
+  noise    phase-noise margin measurement, FAILS RED below the documented
+           floor (MARGIN_FLOORS in noise.py) — perf changes cannot
+           silently regress correctness margins
 
 Each section verifies decryptions against the plaintext oracles
 (reference test/plain.h) before reporting. Writes one JSON object per
@@ -54,7 +57,8 @@ def main():
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--params", default="tfhepp_128bit")
-    ap.add_argument("--sections", default="gates,mux,linear,refresh,cmux,kernels")
+    ap.add_argument("--sections",
+                    default="gates,mux,linear,refresh,cmux,kernels,noise")
     args = ap.parse_args()
     sections = set(args.sections.split(","))
 
@@ -179,10 +183,29 @@ def main():
         dt, _ = timed(lambda: ks(tl, ctx.keys.ksk_limbs), args.iters)
         report("kernels", "keyswitch", dt, B, 0)
 
-    total_err = sum(r["errors"] for r in results)
+    margin_fail = 0
+    if "noise" in sections:
+        from noise import MARGIN_FLOORS, measure_noise
+        rec = measure_noise(params, args.backend, batch=max(B, 2048),
+                            ek=ek, sk=sk)
+        rec["section"] = "noise"
+        floor = MARGIN_FLOORS.get(params.name)
+        rec["margin_floor_sigmas"] = floor
+        results.append(rec)
+        with open(out_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        sig = rec["worst_gate_margin_sigmas"]
+        xerr = rec["xor_of_bootstrapped_errors"]
+        print(f"noise    margin   {sig} sigma (floor {floor}), "
+              f"xor errors {xerr}")
+        if xerr or (floor is not None and sig is not None and sig < floor):
+            margin_fail = 1
+            print("NOISE MARGIN REGRESSION — failing red", file=sys.stderr)
+
+    total_err = sum(r.get("errors", 0) for r in results)
     print(f"\n{len(results)} measurements -> {out_path}; "
           f"total errors: {total_err}")
-    return 1 if total_err else 0
+    return 1 if (total_err or margin_fail) else 0
 
 
 if __name__ == "__main__":

@@ -72,6 +72,16 @@ class Context:
 
     def __init__(self, ek: G.EvalKey, backend: str = "auto",
                  mesh: Optional[object] = None):
+        if backend == "pallas3":
+            # Demoted to an experiment: dominated by the exact backend on
+            # throughput (benchmarks/BENCHMARKS.md) with only a 2.6-sigma
+            # worst-gate margin; its one win is ~25% key-HBM saving.
+            import warnings
+            warnings.warn(
+                "backend='pallas3' is an EXPERIMENTAL reduced-precision "
+                "mode (~2.6 sigma worst-gate margin, per-gate failure "
+                "rates ~1e-3 for XOR-class gates on bootstrapped inputs); "
+                "prefer the default exact backend", stacklevel=2)
         self.params: GateParams = ek.params
         self.backend = backend
         self.mesh = mesh

@@ -34,7 +34,10 @@ def resolve_backend(backend: str, params: GateParams) -> str:
     if backend != "auto":
         return backend
     lp = params.lvl1
-    if lp.n % 128 == 0 and lp.Bgbit <= 8:
+    # Bgbit > 8 runs on the fast path via the in-kernel digit-limb split
+    # (pallas_br; the reference serves USE_80BIT_SECURITY with the same
+    # kernels, CMakeLists.txt:8-12); the plan caps at two int8 sub-digits.
+    if lp.n % 128 == 0 and lp.Bgbit <= 14:
         return "pallas"
     return "conv"
 
@@ -73,6 +76,7 @@ def blind_rotate(a: jnp.ndarray, b: jnp.ndarray, mu: int, keys: DeviceKeys,
     roundoffset = U32(1 << (32 - 2 - lp.nbit))
 
     if backend.startswith("pallas"):
+        from .limbs import decomp_digit_limb_plan
         from .pallas_br import BK_NLIMBS, blind_rotate_pallas, kar_depth
         nlimbs = 3 if backend == "pallas3" else BK_NLIMBS
         depth = kar_depth(lp, nlimbs)
@@ -83,11 +87,12 @@ def blind_rotate(a: jnp.ndarray, b: jnp.ndarray, mu: int, keys: DeviceKeys,
         B = a.shape[0]
         # Tile cap: single-step grids fit bt=1024 at every supported set;
         # multi-step grids double-buffer the in/out blocks, so large
-        # decompositions (I*N > 4096 bytes/lane of dec) at Karatsuba
-        # depth 0 must drop to 512 to stay inside the 128 MB VMEM (the
-        # depth>=1 band scratch is much smaller and fits).
+        # decompositions (I*N > 4096 bytes/lane of dec, incl. digit-limb
+        # rows) at Karatsuba depth 0 must drop to 512 to stay inside the
+        # 128 MB VMEM (the depth>=1 band scratch is much smaller and fits).
+        nd = decomp_digit_limb_plan(lp.Bgbit)[0]
         cap = 1024 if (B <= 1024 or depth >= 1 or
-                       (lp.k + 1) * lp.l * lp.n <= 4096) else 512
+                       (lp.k + 1) * lp.l * nd * lp.n <= 4096) else 512
         bt = B if B < cap else max(
             d for d in (cap, 512, 256, 128, 64, 32, 16, 8) if B % d == 0)
         return blind_rotate_pallas(acc, abar, keys.bk_wext, params,

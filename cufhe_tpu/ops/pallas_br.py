@@ -44,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..params import GateParams, TrlweParams
+from .limbs import decomp_digit_limb_plan
 
 U32 = jnp.uint32
 
@@ -125,13 +126,20 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
     lp = params.lvl1
     N, nbit, k, l, Bgbit = lp.n, lp.nbit, lp.k, lp.l, lp.Bgbit
     n0 = params.lvl0.dim
-    I = (k + 1) * l
+    # Large gadget bases (USE_80BIT_SECURITY's Bg=1024, CMakeLists.txt:8-12)
+    # split each centered digit into nd balanced int8 sub-digits; the 2^dbits
+    # scaling of sub-digit dl lives in its pre-scaled key generator
+    # (prepare_wext), so the MXU contraction and limb recombination are
+    # unchanged — dec rows just multiply by nd.
+    nd, dbits = decomp_digit_limb_plan(Bgbit)
+    assert nd == 1 or depth == 0, "digit limbs compose only with depth 0"
+    I = (k + 1) * l * nd
     C = BK_COPIES
     L = 3 ** depth                     # Karatsuba leaves
     leaf_n = N >> depth
     R_L = leaf_n // 128
     W_g = 2 * leaf_n                   # leaf band width
-    assert (1 << (Bgbit - 1)) << depth <= 128, \
+    assert (1 << (min(Bgbit, dbits) - 1)) << depth <= 128, \
         "Karatsuba depth overflows int8 digit sums"
     assert leaf_n >= 128
     G = (k + 1) * nlimbs * L * I       # distinct leaf generators / iteration
@@ -154,6 +162,8 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
                           % (1 << 32))
     dmask = np.uint32((1 << Bgbit) - 1)
     half = np.int32(1 << (Bgbit - 1))
+    dbase = np.int32(1 << dbits)
+    dhalf = np.int32(1 << (dbits - 1))
 
     def kernel(abar_ref, acc_in_ref, wext_hbm, out_ref,
                dec_ref, a_ref, wbuf_ref, sem_ref):
@@ -204,24 +214,32 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
                     # leaf sums in int32 (Mosaic has no int8 vector adds);
                     # magnitudes stay int8-safe by the depth/Bgbit gate.
                     dig32 = ((temp >> sh) & dmask).astype(jnp.int32) - half
-                    r = j * l + d
-                    nodes = {(): dig32}
-                    for _lev in range(depth):
-                        nxt = {}
-                        for path, vec in nodes.items():
-                            hn = vec.shape[0] // 2
-                            vlo, vhi = vec[:hn, :], vec[hn:, :]
-                            nxt[path + (1,)] = vlo + vhi
-                            nxt[path + (2,)] = vhi
-                            nxt[path + (3,)] = vlo
-                        nodes = nxt
-                    for v, path in enumerate(paths):
-                        lv = nodes[path]                   # [leaf_n, Bt]
-                        base = v * (I * leaf_n)
-                        for R in range(R_L):
-                            row = base + (R * I + r) * 128
-                            dec_ref[row:row + 128, :] = \
-                                lv[128 * R:128 * (R + 1), :].astype(jnp.int8)
+                    for dl in range(nd):
+                        if dl == nd - 1:
+                            part = dig32   # remainder fits (plan headroom)
+                        else:
+                            part = (((dig32 + dhalf) & (dbase - np.int32(1)))
+                                    - dhalf)
+                            dig32 = (dig32 - part) >> np.int32(dbits)
+                        r = (j * l + d) * nd + dl
+                        nodes = {(): part}
+                        for _lev in range(depth):
+                            nxt = {}
+                            for path, vec in nodes.items():
+                                hn = vec.shape[0] // 2
+                                vlo, vhi = vec[:hn, :], vec[hn:, :]
+                                nxt[path + (1,)] = vlo + vhi
+                                nxt[path + (2,)] = vhi
+                                nxt[path + (3,)] = vlo
+                            nodes = nxt
+                        for v, path in enumerate(paths):
+                            lv = nodes[path]               # [leaf_n, Bt]
+                            base = v * (I * leaf_n)
+                            for R in range(R_L):
+                                row = base + (R * I + r) * 128
+                                dec_ref[row:row + 128, :] = \
+                                    lv[128 * R:128 * (R + 1), :] \
+                                    .astype(jnp.int8)
 
             # ---- external product, leaf-major. Every (component, limb)
             # operator contracts against the SAME leaf operand, so their
@@ -324,8 +342,8 @@ def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
     Returns [B, k+1, N] uint32.
     """
     lp = params.lvl1
-    if lp.Bgbit > 8:
-        raise NotImplementedError("pallas backend requires Bgbit <= 8")
+    if decomp_digit_limb_plan(lp.Bgbit)[0] > 1 and depth > 0:
+        raise NotImplementedError("digit-limb split requires depth 0")
     if lp.n % 128:
         raise NotImplementedError("pallas backend requires N % 128 == 0")
     kernel, dims = _make_kernel(params, nlimbs, depth)
@@ -399,10 +417,23 @@ def prepare_wext(bk: np.ndarray, params: GateParams,
     decomposition: the limbed columns sum back to the combined generator
     exactly, every digit fits int8 with 4 limbs, and band windows start at
     128-aligned rows (extension offset leaf_n).
+
+    Bgbit > 8 parameter sets (Bg=1024) get nd sub-digit rows per gadget
+    digit: dec row (r, dl) contracts against the generator bk[r] << dbits*dl
+    (scaled here in uint32, exact), so the kernel's contraction shape just
+    grows by nd with no recombination change.
     """
     from .limbs import u32_to_signed_limbs
 
-    n0, I, kp1, N = bk.shape
+    n0, I0, kp1, N = bk.shape
+    nd, dbits = decomp_digit_limb_plan(params.lvl1.Bgbit)
+    if nd > 1:
+        scaled = np.empty((n0, I0 * nd, kp1, N), dtype=np.uint32)
+        for r in range(I0):
+            for dl in range(nd):
+                scaled[:, r * nd + dl] = bk[:, r] << np.uint32(dbits * dl)
+        bk = scaled
+    I = I0 * nd
     C = BK_COPIES
     L = 3 ** depth
     leaf_n = N >> depth

@@ -216,6 +216,15 @@ PALLAS_TINY_K2 = GateParams(
     ks=KeySwitchParams(t=4, basebit=2),
 )
 
+#: Tiny Bg=1024 set exercising the Pallas digit-limb split (the 80-bit
+#: set's gadget shape) in interpret mode.
+PALLAS_BG10 = GateParams(
+    name="pallas-bg10-insecure-test",
+    lvl0=LweParams(n=8, k=1, alpha=0.0, mu=1 << 29),
+    lvl1=TrlweParams(nbit=7, k=1, l=2, Bgbit=10, alpha=0.0, mu=1 << 29),
+    ks=KeySwitchParams(t=4, basebit=2),
+)
+
 #: Tiny N=512 / Bgbit=6 set exercising the depth-2 block-Karatsuba kernel.
 PALLAS_KAR = GateParams(
     name="pallas-kar-insecure-test",
@@ -226,5 +235,5 @@ PALLAS_KAR = GateParams(
 
 PRESETS = {p.name: p for p in (TFHEPP_128, TFHEPP_128_BG8, TFHEPP_80, CGGI19,
                                CONCRETE, TINY, PALLAS_TINY, TINY_K2,
-                               PALLAS_TINY_K2, PALLAS_KAR)}
+                               PALLAS_TINY_K2, PALLAS_BG10, PALLAS_KAR)}
 DEFAULT = TFHEPP_128

@@ -21,7 +21,7 @@ def pallas_key():
 def test_backend_resolution():
     assert B.resolve_backend("auto", P.TFHEPP_128) == "pallas"
     assert B.resolve_backend("auto", P.TINY) == "conv"        # N=64
-    assert B.resolve_backend("auto", P.TFHEPP_80) == "conv"   # Bgbit=10
+    assert B.resolve_backend("auto", P.TFHEPP_80) == "pallas"  # digit limbs
     assert B.resolve_backend("conv", P.TFHEPP_128) == "conv"
 
 
@@ -94,6 +94,28 @@ def test_pallas3_reduced_precision_gate(pallas_key, rng):
                                  backend="pallas3"))
     assert [G.decrypt_bit(g, sk) for g in got] == \
         [1 - (a & b) for a, b in zip(bits0, bits1)]
+
+
+def test_pallas_bg10_digit_limb_gate(rng):
+    """Bg=1024 (USE_80BIT_SECURITY gadget shape) through the pallas kernel
+    with the two-sub-digit split: bit-exact vs golden."""
+    sk = G.keygen(P.PALLAS_BG10, seed=30)
+    ek = G.make_eval_key(sk, seed=31)
+    p = sk.params
+    assert B.resolve_backend("auto", p) == "pallas"
+    rng2 = np.random.default_rng(32)
+    keys = K.prepare_keys(ek, backends=("pallas",))
+    bits0, bits1 = [0, 1, 0, 1], [0, 0, 1, 1]
+    c0 = [G.encrypt_bit(b, sk, rng2) for b in bits0]
+    c1 = [G.encrypt_bit(b, sk, rng2) for b in bits1]
+    want = np.stack([G.gate_lvl0("xor", a, b, ek) for a, b in zip(c0, c1)])
+    got = np.asarray(B.gate_lvl0(G.GATE_CONSTANTS["xor"],
+                                 jnp.asarray(np.stack(c0)),
+                                 jnp.asarray(np.stack(c1)), keys, p,
+                                 backend="pallas"))
+    assert np.array_equal(got, want)
+    assert [G.decrypt_bit(g, sk) for g in got] == \
+        [a ^ b for a, b in zip(bits0, bits1)]
 
 
 def test_pallas_k2_concrete_style_gate(rng):
