@@ -27,8 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: red if a change dips below these — perf work cannot silently trade away
 #: correctness margin (the pallas3+Karatsuba incident, docs/DESIGN.md).
 MARGIN_FLOORS = {
-    "tfhepp_128bit": 6.0,
-    "tfhepp_128bit_bg8": 5.0,
+    "tfhepp_128bit": 6.0,        # measured 6.3
+    "tfhepp_128bit_bg8": 5.0,    # measured 5.2
+    "tfhepp_80bit": 12.0,        # measured 18.0 (pallas digit-limb path)
+    "cggi19": 10.0,              # measured 14.2 (pallas depth-1 path)
 }
 
 

@@ -164,17 +164,24 @@ class Context:
 
     def gate_rows(self, c3_rows: jnp.ndarray, in0: Ctxt, in1: Ctxt) -> Ctxt:
         """Heterogeneous two-input gate batch: row i of `c3_rows`
-        ([B, 3] uint32 from encode_gate_consts_rows) selects gate i's
+        ([G, 3] uint32 from encode_gate_consts_rows) selects gate i's
         linear-combination constants. One compiled program per (level,
         batch shape) evaluates ANY mix of the ten gates — the executor
-        fuses a whole circuit level into one call with this."""
+        fuses a whole circuit level into one call with this.
+
+        c3_rows may be [G, 3] with G dividing the ciphertext batch
+        (gate-major layout): it is tiled on device inside the program, so
+        the host transfers G rows instead of G*B."""
         level = in0.level
         p, bk = self.params, self.backend
         fn = B.gate_lvl0 if level == 0 else B.gate_lvl1
-        prog = self._jit(("gate_rows", level),
-                         lambda c, a, b, keys: fn(c, a, b, keys=keys,
-                                                  params=p, backend=bk),
-                         batch_argnums=(0, 1, 2))
+
+        def run(c, a, b, keys):
+            if c.shape[0] != a.shape[0]:
+                c = jnp.repeat(c, a.shape[0] // c.shape[0], axis=0)
+            return fn(c, a, b, keys=keys, params=p, backend=bk)
+
+        prog = self._jit(("gate_rows", level), run, batch_argnums=(0, 1, 2))
         return Ctxt(prog(jnp.asarray(c3_rows), self._shard(in0.data),
                          self._shard(in1.data), self.keys), level)
 

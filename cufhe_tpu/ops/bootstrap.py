@@ -91,8 +91,14 @@ def blind_rotate(a: jnp.ndarray, b: jnp.ndarray, mu: int, keys: DeviceKeys,
         # rows) at Karatsuba depth 0 must drop to 512 to stay inside the
         # 128 MB VMEM (the depth>=1 band scratch is much smaller and fits).
         nd = decomp_digit_limb_plan(lp.Bgbit)[0]
-        cap = 1024 if (B <= 1024 or depth >= 1 or
-                       (lp.k + 1) * lp.l * nd * lp.n <= 4096) else 512
+        I_rows = (lp.k + 1) * lp.l * nd
+        if depth >= 1:
+            # depth>=1 band scratch is small, but wide leaves (CGGI19's
+            # depth-1 leaf_n=512 at l=3) still blow VMEM at bt=1024
+            fits = I_rows * (lp.n >> depth) <= 2048
+        else:
+            fits = I_rows * lp.n <= 4096
+        cap = 1024 if (B <= 1024 or fits) else 512
         bt = B if B < cap else max(
             d for d in (cap, 512, 256, 128, 64, 32, 16, 8) if B % d == 0)
         return blind_rotate_pallas(acc, abar, keys.bk_wext, params,

@@ -147,11 +147,13 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
     quarters = [_leaf_quarters(p, depth) for p in paths]
     OL = (k + 1) * nlimbs              # stacked (component, limb) operators
     # Group size: how many (component, limb) operators stack into one MXU
-    # dot; capped so one a_ref buffer stays ~<=12 MB.
+    # dot; capped so one a_ref buffer stays ~<=8 MB (leaves the 128-bit
+    # depth-2 config at full stacking while keeping depth-1 N=1024 sets
+    # like CGGI19 inside the 110 MB VMEM budget).
     per_ol = leaf_n * I * leaf_n
     GOL = 1
     for g in range(1, OL + 1):
-        if OL % g == 0 and g * per_ol <= (12 << 20):
+        if OL % g == 0 and g * per_ol <= (8 << 20):
             GOL = g
     NG = OL // GOL
     # 3 rotating window buffers: build(si+1) must not wait on the still-

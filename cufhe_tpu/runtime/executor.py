@@ -197,10 +197,10 @@ def run_schedule(ctx: Context, sched: Schedule,
             names_p = fused_names + [fused_names[0]] * pad
             from ..ops.bootstrap import encode_gate_consts_rows
             c3 = encode_gate_consts_rows(names_p, mu)      # [Gp, 3]
-            c3_rows = np.repeat(c3, B, axis=0)             # gate-major rows
             ga = regs[jnp.asarray([slot[q[1]] for q in quads_p])]
             gb = regs[jnp.asarray([slot[q[2]] for q in quads_p])]
-            res = ctx.gate_rows(c3_rows,
+            # [Gp, 3] tiles to gate-major rows on device (gate_rows)
+            res = ctx.gate_rows(c3,
                                 Ctxt(ga.reshape(Gp * B, width), lvl),
                                 Ctxt(gb.reshape(Gp * B, width), lvl))
             outs = jnp.asarray([slot[q[0]] for q in quads_p],
