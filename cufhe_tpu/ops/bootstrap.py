@@ -8,6 +8,7 @@ inherently sequential n0-step accumulator loop is a lax.fori_loop
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -99,6 +100,9 @@ def blind_rotate(a: jnp.ndarray, b: jnp.ndarray, mu: int, keys: DeviceKeys,
         else:
             fits = I_rows * lp.n <= 4096
         cap = 1024 if (B <= 1024 or fits) else 512
+        env_bt = os.environ.get("CUFHE_BT", "")   # perf A/B only
+        if env_bt:
+            cap = int(env_bt)
         bt = B if B < cap else max(
             d for d in (cap, 512, 256, 128, 64, 32, 16, 8) if B % d == 0)
         return blind_rotate_pallas(acc, abar, keys.bk_wext, params,

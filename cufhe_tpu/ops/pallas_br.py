@@ -155,6 +155,9 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
     for g in range(1, OL + 1):
         if OL % g == 0 and g * per_ol <= (8 << 20):
             GOL = g
+    env_gol = os.environ.get("CUFHE_GOL", "")   # perf A/B only
+    if env_gol and OL % int(env_gol) == 0:
+        GOL = int(env_gol)
     NG = OL // GOL
     # 3 rotating window buffers: build(si+1) must not wait on the still-
     # in-flight dot(si-1) that read the third buffer
@@ -179,9 +182,6 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
         out_ref[:, :] = acc_in_ref[:, :]
 
         subl = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
-        # Band-column index within a poly (loop-invariant select masks).
-        mlane = jax.lax.broadcasted_iota(
-            jnp.int32, (1, GOL * I * 128), 1) & 127
 
         def iter_body(i, carry):
             slot = jax.lax.rem(i, 2)
@@ -254,18 +254,24 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
                 if _skip == "shear":
                     return
                 Pw = pltpu.bitcast(wbuf_ref[slot], jnp.int32)
+                p0 = (v * OL + g * GOL) * I
+                base = Pw[:, C * p0:C * (p0 + GOL * I)]
+                # Duplicate d of a poly's C pre-rotated columns sits at
+                # in-block offset C*d — a STATIC roll by C*d/4 packed rows.
+                # Static rolls over the unique columns replace the former
+                # log-shear (conditional roll+select over the duplicated
+                # 128-wide blocks): no selects, ~7x less roll traffic.
+                # (Direct window assembly from row-shifted slices would
+                # halve the materialized volume again, but Mosaic requires
+                # concat operands to share sublane offsets — C*d/4 is not
+                # tile-aligned for odd d.)
+                rolled = [base] + [pltpu.roll(base, (C * d) // 4, axis=0)
+                                   for d in range(1, 128 // C)]
                 cols = []
-                for ol in range(g * GOL, (g + 1) * GOL):
-                    for j in range(I):
-                        p = (v * OL + ol) * I + j
-                        cols.extend([Pw[:, C * p:C * (p + 1)]]
-                                    * (128 // C))
+                for q in range(GOL * I):
+                    for d in range(128 // C):
+                        cols.append(rolled[d][:, C * q:C * (q + 1)])
                 P = jnp.concatenate(cols, axis=1)      # [Wg/4, GOL*I*128]
-                b = C
-                while b < 128:
-                    rolled = pltpu.roll(P, b // 4, axis=0)
-                    P = jnp.where((mlane & b) != 0, rolled, P)
-                    b *= 2
                 # write 128-aligned row windows straight from the packed
                 # view (rows/4) — no intermediate band buffer
                 for oo in range(GOL):
