@@ -29,9 +29,11 @@ class DeviceKeys:
         the conv backend; output channel o*NLIMBS + limb.
     bk_limbs:   [n0, NLIMBS, (k+1)*l, k+1, N] int8 — natural order, for the
         Toeplitz backend.
-    ksk_limbs:  [NLIMBS, k1*N*t*numbase, k0*n0+1] int8 — flattened KSK with
-        contraction index j*(t*numbase) + dig*numbase + m (the reference's
-        gather layout, keyswitch_gpu.cuh:68-71, transposed for the MXU).
+    ksk_limbs:  [NLIMBS, k1*N*t*numbase, k0*n0+1] bfloat16 — flattened KSK
+        with contraction index j*(t*numbase) + dig*numbase + m (the
+        reference's gather layout, keyswitch_gpu.cuh:68-71, transposed for
+        the MXU). Stored as bf16 so the keyswitch dots run on the MXU with
+        no per-call cast; the int8 limb values are exactly representable.
     bk_wext:    [n0, 2N, BK_COPIES*G] int8 — pallas pre-rotated band format.
 
     Only the formats for the requested backends are materialized (the pallas
@@ -92,11 +94,13 @@ def prepare_keys(ek: EvalKey, device=None,
     filt = filt.reshape(n0, rows, kp1 * NLIMBS, lp.n)
     filt = np.moveaxis(filt, 1, 2)[..., ::-1]       # [n0, O, I, N]
 
-    # KSK: [d1, t, numbase, n0+1] u32 -> [L, d1*t*numbase, n0+1] int8
+    # KSK: [d1, t, numbase, n0+1] u32 -> [L, d1*t*numbase, n0+1] bf16
     kl = u32_to_signed_limbs(ek.ksk)                # [d1, t, nb, n0+1, L]
     d1 = ek.ksk.shape[0]
     K = d1 * p.ks.t * p.ks.numbase
-    ksk_limbs = np.moveaxis(kl, 4, 0).reshape(NLIMBS, K, n0 + 1)
+    import ml_dtypes
+    ksk_limbs = np.moveaxis(kl, 4, 0).reshape(NLIMBS, K, n0 + 1) \
+        .astype(ml_dtypes.bfloat16)
 
     if "pallas" in want or "pallas3" in want:
         from .pallas_br import kar_depth, prepare_wext

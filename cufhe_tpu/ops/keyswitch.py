@@ -62,18 +62,21 @@ def key_switch(tlwe1: jnp.ndarray, ksk_limbs: jnp.ndarray,
         b_in = tlwe1[:, d1]
 
     co = ks_decompose_coeffs(a_in, params)            # [B, K] int8
-    # bf16 x bf16 -> f32 dots: XLA lowers int8 dot_general to scalar VPU
-    # code (measured 31.6 ms/1024 vs ~1 ms roofline), while bf16 runs on
-    # the MXU. EXACT: coefficients are {-1,0,+1} and KSK limbs are int8,
-    # so every product is an integer of magnitude <= 128 (exactly
+    # bf16 x bf16 -> f32 dots: XLA lowers int8 dot_general to slow
+    # non-MXU code (measured 25.4 ms/1024 vs 15.5 bf16 vs ~1 ms
+    # roofline), so the KSK is limb-encoded straight to bf16 at key prep.
+    # EXACT: coefficients are {-1,0,+1} and KSK limbs are int8 values, so
+    # every product is an integer of magnitude <= 128 (exactly
     # representable in bf16) and every f32 partial sum is an integer
     # < K*128 <= 2^21 < 2^24 — never rounded.
     assert co.shape[1] * 128 < (1 << 24)
     cob = co.astype(jnp.bfloat16)
     out = jnp.zeros((co.shape[0], n0 + 1), dtype=U32)
     for l in range(NLIMBS):
-        prod = lax.dot_general(cob, ksk_limbs[l].astype(jnp.bfloat16),
-                               (((1,), (0,)), ((), ())),
+        kl = ksk_limbs[l]
+        if kl.dtype != jnp.bfloat16:
+            kl = kl.astype(jnp.bfloat16)
+        prod = lax.dot_general(cob, kl, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
         out = out + (jnp.round(prod).astype(jnp.int32).astype(U32)
                      << U32(LIMB_BITS * l))

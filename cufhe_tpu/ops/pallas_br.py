@@ -202,7 +202,12 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
             # into R_L chunks of 128 rows so the contraction index pairs
             # with the band-window column order assembled in a_ref below.
             for j in range(k + 1):
-                acc_j = out_ref[j * N:(j + 1) * N, :]     # [N, Bt] uint32
+                # debug 'chain': source rot/dec from the loop-invariant
+                # input block — same VPU work, no serial accumulator
+                # dependency; measures the cross-iteration pipelining
+                # ceiling (timing only, breaks correctness)
+                src = acc_in_ref if _skip == "chain" else out_ref
+                acc_j = src[j * N:(j + 1) * N, :]         # [N, Bt] uint32
                 x = acc_j
                 for kb in range(0 if _skip == "rot" else nbit):
                     rolled = pltpu.roll(x, 1 << kb, axis=0)
