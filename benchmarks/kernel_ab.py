@@ -20,7 +20,7 @@ def main() -> None:
     batch = sys.argv[2] if len(sys.argv) > 2 else "4096"
     rows = []
     for skip, depth in [("", ""), ("rot", ""), ("shear", ""), ("mxu", ""),
-                        ("", "0"), ("rot", "0")]:
+                        ("chain", ""), ("", "0"), ("rot", "0")]:
         env = os.environ.copy()
         env["BENCH_BATCH"] = batch
         env["BENCH_ITERS"] = "4"

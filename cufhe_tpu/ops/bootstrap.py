@@ -20,7 +20,8 @@ from .keys import DeviceKeys
 from .keyswitch import key_switch
 from .poly import (batched_test_vector, decompose, decompose_rotate_sub,
                    negacyclic_conv_i8, negacyclic_conv_toeplitz,
-                   sample_extract_index0, split_decomp_digits)
+                   sample_extract_for_ks, sample_extract_index0,
+                   split_decomp_digits)
 
 U32 = jnp.uint32
 
@@ -179,8 +180,9 @@ def gate_lvl0(gate_consts, in0: jnp.ndarray, in1: jnp.ndarray,
     n0 = params.lvl0.dim
     a, b = _pre_add(in0, in1, ca, cb, off, n0)
     acc = blind_rotate(a, b, params.lvl1.mu, keys, params, backend)
-    tlwe1 = sample_extract_index0(acc, params.lvl1)
-    return key_switch(tlwe1, keys.ksk_limbs, params)
+    # extraction folded into the KSK row permutation (sample_extract_for_ks)
+    tlwe1 = sample_extract_for_ks(acc, params.lvl1)
+    return key_switch(tlwe1, keys.ksk_limbs_sei, params)
 
 
 def gate_lvl1(gate_consts, in0: jnp.ndarray, in1: jnp.ndarray,
@@ -210,8 +212,8 @@ def mux_lvl0(inc, in1, in0, keys: DeviceKeys, params: GateParams,
         acc = acc.at[:, params.lvl1.k, 0].add(U32((-mu1) % (1 << 32)))
     else:
         acc = acc.at[:, params.lvl1.k, 0].add(U32(mu1))
-    tlwe1 = sample_extract_index0(acc, params.lvl1)
-    return key_switch(tlwe1, keys.ksk_limbs, params)
+    tlwe1 = sample_extract_for_ks(acc, params.lvl1)
+    return key_switch(tlwe1, keys.ksk_limbs_sei, params)
 
 
 def mux_lvl1(inc, in1, in0, keys: DeviceKeys, params: GateParams,
@@ -258,8 +260,8 @@ def refresh(trlwe: jnp.ndarray, keys: DeviceKeys, params: GateParams,
             backend: str = "auto") -> jnp.ndarray:
     """TRLWE -> TRLWE noise refresh (__SEIandBootstrap2TRLWE__ intent,
     bootstrap_gpu.cu:325-364; see golden.refresh re the reference quirk)."""
-    tlwe1 = sample_extract_index0(trlwe, params.lvl1)
-    tlwe0 = key_switch(tlwe1, keys.ksk_limbs, params)
+    tlwe1 = sample_extract_for_ks(trlwe, params.lvl1)
+    tlwe0 = key_switch(tlwe1, keys.ksk_limbs_sei, params)
     n0 = params.lvl0.dim
     return blind_rotate(tlwe0[:, :n0], tlwe0[:, n0], params.lvl1.mu, keys,
                         params, backend)
@@ -277,5 +279,5 @@ def bootstrap_tlwe2trlwe(tlwe0: jnp.ndarray, mu: int, keys: DeviceKeys,
 def sei_and_ks(trlwe: jnp.ndarray, keys: DeviceKeys,
                params: GateParams) -> jnp.ndarray:
     """SampleExtractAndKeySwitch (keyswitch_gpu.cu:26-40)."""
-    return key_switch(sample_extract_index0(trlwe, params.lvl1),
-                      keys.ksk_limbs, params)
+    return key_switch(sample_extract_for_ks(trlwe, params.lvl1),
+                      keys.ksk_limbs_sei, params)

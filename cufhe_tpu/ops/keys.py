@@ -34,6 +34,11 @@ class DeviceKeys:
         reference's gather layout, keyswitch_gpu.cuh:68-71, transposed for
         the MXU). Stored as bf16 so the keyswitch dots run on the MXU with
         no per-call cast; the int8 limb values are exactly representable.
+    ksk_limbs_sei: same, with each per-component row block permuted by the
+        negacyclic index reversal j -> (N - j) mod N, so a key switch fed
+        the elementwise KS-input extraction (poly.sample_extract_for_ks)
+        equals KS(SampleExtractIndex0(acc)) without the device-side lane
+        reverse.
     bk_wext:    [n0, 2N, BK_COPIES*G] int8 — pallas pre-rotated band format.
 
     Only the formats for the requested backends are materialized (the pallas
@@ -43,6 +48,7 @@ class DeviceKeys:
     bk_filters: jnp.ndarray
     bk_limbs: jnp.ndarray
     ksk_limbs: jnp.ndarray
+    ksk_limbs_sei: jnp.ndarray
     bk_wext: jnp.ndarray
 
 
@@ -99,8 +105,17 @@ def prepare_keys(ek: EvalKey, device=None,
     d1 = ek.ksk.shape[0]
     K = d1 * p.ks.t * p.ks.numbase
     import ml_dtypes
-    ksk_limbs = np.moveaxis(kl, 4, 0).reshape(NLIMBS, K, n0 + 1) \
-        .astype(ml_dtypes.bfloat16)
+
+    def _flat_ksk(limbs):
+        return np.moveaxis(limbs, 4, 0).reshape(NLIMBS, K, n0 + 1) \
+            .astype(ml_dtypes.bfloat16)
+
+    ksk_limbs = _flat_ksk(kl)
+    # Negacyclic-reversal row permutation per lvl1 component block: lets
+    # sample extraction stay elementwise on device (sample_extract_for_ks).
+    perm = np.arange(d1).reshape(lp.k, lp.n)
+    perm = np.concatenate([perm[:, :1], perm[:, :0:-1]], axis=1).reshape(-1)
+    ksk_limbs_sei = _flat_ksk(kl[perm])
 
     if "pallas" in want or "pallas3" in want:
         from .pallas_br import kar_depth, prepare_wext
@@ -120,4 +135,5 @@ def prepare_keys(ek: EvalKey, device=None,
     else:
         put = lambda x: jnp.asarray(np.ascontiguousarray(x))
     return DeviceKeys(bk_filters=put(filt), bk_limbs=put(bk_limbs),
-                      ksk_limbs=put(ksk_limbs), bk_wext=put(wext))
+                      ksk_limbs=put(ksk_limbs),
+                      ksk_limbs_sei=put(ksk_limbs_sei), bk_wext=put(wext))

@@ -206,3 +206,25 @@ def sample_extract_index0(acc: jnp.ndarray, p: TrlweParams) -> jnp.ndarray:
         [a[:, :, :1], jnp.negative(a[:, :, :0:-1])], axis=2)
     return jnp.concatenate(
         [ext.reshape(B, p.k * N), acc[:, p.k, :1]], axis=1)
+
+
+def sample_extract_for_ks(acc: jnp.ndarray, p: TrlweParams) -> jnp.ndarray:
+    """Sample extraction in *KS-input form*: elementwise only, no reverse.
+
+    The true extraction (above) reverses the mask lanes — a negacyclic
+    permutation XLA lowers to slow lane shuffles. But a key switch contracts
+    over exactly that coefficient axis, so the permutation moves into the
+    KSK rows at key-preparation time (prepare_keys builds ksk_limbs_sei);
+    the device keeps only the sign select:
+
+        c[j, 0] = a[j, 0],  c[j, i] = -a[j, i]  (i >= 1)
+
+    key_switch(sample_extract_for_ks(acc), ksk_limbs_sei) is bit-identical
+    to key_switch(sample_extract_index0(acc), ksk_limbs).
+    """
+    B, _, N = acc.shape
+    a = acc[:, :p.k, :]
+    i = jnp.arange(N, dtype=U32)[None, None, :]
+    c = jnp.where(i == U32(0), a, jnp.negative(a))
+    return jnp.concatenate(
+        [c.reshape(B, p.k * N), acc[:, p.k, :1]], axis=1)
