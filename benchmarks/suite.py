@@ -33,12 +33,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def _force(out):
     """Block until a result (Ctxt/TrlweCtxt/array/tuple) is really done;
     device_get rather than block_until_ready — the latter is unreliable
-    through the axon tunnel."""
+    through the axon tunnel. Fetches a tiny dependent slice, not the whole
+    array: full-output readback through the tunnel (~6 ms/MB) would bill
+    D2H transfer to the op being timed (lvl1 outputs are 8 MB/batch; the
+    reference times kernels with cudaEvents, D2H excluded)."""
     import jax
     if isinstance(out, tuple):
         out = out[0]
     arr = getattr(out, "data", out)
-    np.asarray(jax.device_get(arr))
+    np.asarray(jax.device_get(arr[..., :4]))
 
 
 def timed(fn, iters):

@@ -83,7 +83,10 @@ def blind_rotate(a: jnp.ndarray, b: jnp.ndarray, mu: int, keys: DeviceKeys,
         nlimbs = 3 if backend == "pallas3" else BK_NLIMBS
         depth = kar_depth(lp, nlimbs)
         abar = _mod_switch(a + roundoffset, lp.nbit).T    # [n0, B]
-        pad = (-n0) % 8
+        # pad to >= n0+3 rows: the staggered kernel's software pipeline
+        # prefetches rotate/decompose up to two iterations past the end
+        # (reads masked to zero)
+        pad = ((n0 + 3 + 7) // 8) * 8 - n0
         if pad:
             abar = jnp.pad(abar, ((0, pad), (0, 0)))
         B = a.shape[0]

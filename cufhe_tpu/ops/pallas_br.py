@@ -120,8 +120,29 @@ def _leaf_quarters(path, depth: int):
     return qs
 
 
+def _stagger_seq(S: int):
+    """Dot-issue order for the staggered half-tile pipeline: one body covers
+    half A's S dots of iteration i and half B's S dots lagging ~S/2 behind
+    (steps S-r..S-1 of iteration i-1, then 0..S-r-1 of iteration i). The
+    consecutive A-run after the last Bp covers half B's serial boundary work
+    (place → out update → rotate/decompose), and the trailing B-run covers
+    half A's. Returns (sequence, r) or (None, 0) when S is too small to
+    pipeline this way."""
+    r = max(2, S // 3)
+    if S < 2 * r:
+        return None, 0
+    seq = []
+    for j in range(r):
+        seq += [("A", j), ("Bp", S - r + j)]
+    seq += [("A", r + j) for j in range(r)]
+    seq += [("B", j) for j in range(r)]
+    seq += [("A", j) for j in range(2 * r, S)]
+    seq += [("B", j) for j in range(r, S - r)]
+    return seq, r
+
+
 def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
-                 depth: int = 0):
+                 depth: int = 0, b_tile: int = 256, want_stagger=None):
     _skip = os.environ.get("CUFHE_PALLAS_SKIP", "")  # debug: 'mxu'|'rot'|'shear'
     lp = params.lvl1
     N, nbit, k, l, Bgbit = lp.n, lp.nbit, lp.k, lp.l, lp.Bgbit
@@ -170,50 +191,55 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
     dbase = np.int32(1 << dbits)
     dhalf = np.int32(1 << (dbits - 1))
 
+    S = L * NG
+    steps = [(v, g) for v in range(L) for g in range(NG)]
+    # Staggered half-tile pipeline (see _stagger_seq): requires a schedule,
+    # static band slots under an unroll-by-2 body ((2S) % NBUF == 0), and
+    # lanes that split into two >=128 halves. CUFHE_STAGGER=0 disables
+    # (perf A/B); section-skip debug modes use the plain schedule.
+    seq, r_lag = _stagger_seq(S)
+    NBUF_ST = next((d for d in (6, 4, 3, 2) if (2 * S) % d == 0), 2)
+    if want_stagger is None:
+        want_stagger = os.environ.get("CUFHE_STAGGER", "1") == "1"
+    stagger = (seq is not None and not _skip and b_tile % 256 == 0
+               and want_stagger)
+    NBUF = NBUF_ST if stagger else 3
+
     def kernel(abar_ref, acc_in_ref, wext_hbm, out_ref,
-               dec_ref, a_ref, wbuf_ref, sem_ref):
+               dec_ref, a_ref, wbuf_ref, sem_ref, *upd_scratch):
         Bt = out_ref.shape[1]
+        upd_ref = upd_scratch[0] if upd_scratch else None
 
         def dma(i, slot):
             return pltpu.make_async_copy(
                 wext_hbm.at[i], wbuf_ref.at[slot], sem_ref.at[slot])
 
-        dma(0, 0).start()
-        out_ref[:, :] = acc_in_ref[:, :]
-
         subl = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
 
-        def iter_body(i, carry):
-            slot = jax.lax.rem(i, 2)
-
-            @pl.when(i + 1 < n0)
-            def _():
-                dma(i + 1, 1 - slot).start()
-
-            dma(i, slot).wait()
-
-            ab = abar_ref[pl.ds(i, 1), :].astype(jnp.int32)   # [1, Bt]
+        def rotdec(idx, lo, W, mask=None):
+            """Rotate each component by X^abar[idx], decompose digits, and
+            write the Karatsuba leaf operands into dec_ref[:, lo:lo+W].
+            dec_ref row layout is (leaf v, R, poly r, offset): each leaf
+            operand is scattered into R_L chunks of 128 rows so the
+            contraction index pairs with the band-window column order
+            assembled by build(). mask (traced bool) zeroes the digits so
+            out-of-range pipeline iterations contribute exact zeros."""
+            ab = abar_ref[pl.ds(idx, 1), lo:lo + W].astype(jnp.int32)
             hi = ((ab >> nbit) & 1).astype(jnp.bool_)
-            lo = ab & (N - 1)
-
-            # ---- rotate each component by X^abar; decompose digits; build
-            # Karatsuba leaf operands. dec_ref row layout is
-            # (leaf v, R, poly r, offset): each leaf operand is scattered
-            # into R_L chunks of 128 rows so the contraction index pairs
-            # with the band-window column order assembled in a_ref below.
+            low = ab & (N - 1)
             for j in range(k + 1):
                 # debug 'chain': source rot/dec from the loop-invariant
                 # input block — same VPU work, no serial accumulator
                 # dependency; measures the cross-iteration pipelining
                 # ceiling (timing only, breaks correctness)
                 src = acc_in_ref if _skip == "chain" else out_ref
-                acc_j = src[j * N:(j + 1) * N, :]         # [N, Bt] uint32
+                acc_j = src[j * N:(j + 1) * N, lo:lo + W]  # [N, W] uint32
                 x = acc_j
                 for kb in range(0 if _skip == "rot" else nbit):
                     rolled = pltpu.roll(x, 1 << kb, axis=0)
                     x = jnp.where(((ab >> kb) & 1).astype(jnp.bool_),
                                   rolled, x)
-                neg = (subl < lo) ^ hi                     # [N, Bt]
+                neg = (subl < low) ^ hi                    # [N, W]
                 rot = jnp.where(neg, jnp.negative(x), x)
                 temp = rot - acc_j + off_const
                 for d in range(l):
@@ -221,6 +247,9 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
                     # leaf sums in int32 (Mosaic has no int8 vector adds);
                     # magnitudes stay int8-safe by the depth/Bgbit gate.
                     dig32 = ((temp >> sh) & dmask).astype(jnp.int32) - half
+                    if mask is not None:
+                        dig32 = jnp.where(mask, dig32,
+                                          jnp.zeros_like(dig32))
                     for dl in range(nd):
                         if dl == nd - 1:
                             part = dig32   # remainder fits (plan headroom)
@@ -228,7 +257,7 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
                             part = (((dig32 + dhalf) & (dbase - np.int32(1)))
                                     - dhalf)
                             dig32 = (dig32 - part) >> np.int32(dbits)
-                        r = (j * l + d) * nd + dl
+                        rr = (j * l + d) * nd + dl
                         nodes = {(): part}
                         for _lev in range(depth):
                             nxt = {}
@@ -240,56 +269,75 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
                                 nxt[path + (3,)] = vlo
                             nodes = nxt
                         for v, path in enumerate(paths):
-                            lv = nodes[path]               # [leaf_n, Bt]
+                            lv = nodes[path]               # [leaf_n, W]
                             base = v * (I * leaf_n)
                             for R in range(R_L):
-                                row = base + (R * I + r) * 128
-                                dec_ref[row:row + 128, :] = \
+                                row = base + (R * I + rr) * 128
+                                dec_ref[row:row + 128, lo:lo + W] = \
                                     lv[128 * R:128 * (R + 1), :] \
                                     .astype(jnp.int8)
 
-            # ---- external product, leaf-major. Every (component, limb)
-            # operator contracts against the SAME leaf operand, so their
-            # band windows stack along MXU output rows: one deep dot per
-            # (leaf, component-limb group). Bands for the next dot are
-            # sheared and window-assembled into the *other* a_ref buffer
-            # between issuing this dot and consuming its result, hiding
-            # the VPU band work under MXU time.
-            def build(v, g, buf):
-                if _skip == "shear":
-                    return
-                Pw = pltpu.bitcast(wbuf_ref[slot], jnp.int32)
-                p0 = (v * OL + g * GOL) * I
-                base = Pw[:, C * p0:C * (p0 + GOL * I)]
-                # Duplicate d of a poly's C pre-rotated columns sits at
-                # in-block offset C*d — a STATIC roll by C*d/4 packed rows.
-                # Static rolls over the unique columns replace the former
-                # log-shear (conditional roll+select over the duplicated
-                # 128-wide blocks): no selects, ~7x less roll traffic.
-                # (Direct window assembly from row-shifted slices would
-                # halve the materialized volume again, but Mosaic requires
-                # concat operands to share sublane offsets — C*d/4 is not
-                # tile-aligned for odd d.)
-                rolled = [base] + [pltpu.roll(base, (C * d) // 4, axis=0)
-                                   for d in range(1, 128 // C)]
-                cols = []
-                for q in range(GOL * I):
-                    for d in range(128 // C):
-                        cols.append(rolled[d][:, C * q:C * (q + 1)])
-                P = jnp.concatenate(cols, axis=1)      # [Wg/4, GOL*I*128]
-                # write 128-aligned row windows straight from the packed
-                # view (rows/4) — no intermediate band buffer
-                for oo in range(GOL):
-                    for R in range(R_L):
-                        win = P[(leaf_n - 128 * R) // 4:
-                                (2 * leaf_n - 128 * R) // 4,
-                                oo * (I * 128):(oo + 1) * (I * 128)]
-                        a_ref[buf, oo * leaf_n:(oo + 1) * leaf_n,
-                              R * (I * 128):(R + 1) * (I * 128)] = \
-                            pltpu.bitcast(win, jnp.int8)
+        # ---- external product, leaf-major. Every (component, limb)
+        # operator contracts against the SAME leaf operand, so their
+        # band windows stack along MXU output rows: one deep dot per
+        # (leaf, component-limb group). Bands for upcoming dots are
+        # sheared and window-assembled into rotating a_ref buffers in
+        # the shadow of issued dots, hiding the VPU band work under
+        # MXU time.
+        def build(v, g, buf, wslot):
+            if _skip == "shear":
+                return
+            Pw = pltpu.bitcast(wbuf_ref[wslot], jnp.int32)
+            p0 = (v * OL + g * GOL) * I
+            base = Pw[:, C * p0:C * (p0 + GOL * I)]
+            # Duplicate d of a poly's C pre-rotated columns sits at
+            # in-block offset C*d — a STATIC roll by C*d/4 packed rows.
+            # Static rolls over the unique columns replace the former
+            # log-shear (conditional roll+select over the duplicated
+            # 128-wide blocks): no selects, ~7x less roll traffic.
+            # (Direct window assembly from row-shifted slices would
+            # halve the materialized volume again, but Mosaic requires
+            # concat operands to share sublane offsets — C*d/4 is not
+            # tile-aligned for odd d.)
+            rolled = [base] + [pltpu.roll(base, (C * d) // 4, axis=0)
+                               for d in range(1, 128 // C)]
+            cols = []
+            for q in range(GOL * I):
+                for d in range(128 // C):
+                    cols.append(rolled[d][:, C * q:C * (q + 1)])
+            P = jnp.concatenate(cols, axis=1)      # [Wg/4, GOL*I*128]
+            # write 128-aligned row windows straight from the packed
+            # view (rows/4) — no intermediate band buffer
+            for oo in range(GOL):
+                for R in range(R_L):
+                    win = P[(leaf_n - 128 * R) // 4:
+                            (2 * leaf_n - 128 * R) // 4,
+                            oo * (I * 128):(oo + 1) * (I * 128)]
+                    a_ref[buf, oo * leaf_n:(oo + 1) * leaf_n,
+                          R * (I * 128):(R + 1) * (I * 128)] = \
+                        pltpu.bitcast(win, jnp.int8)
 
-            steps = [(v, g) for v in range(L) for g in range(NG)]
-            build(0, 0, 0)
+        def dot(v, g, buf, lo, W):
+            if _skip == "mxu":
+                return jnp.zeros((GOL * leaf_n, W), jnp.int32)
+            return jax.lax.dot_general(
+                a_ref[buf],
+                dec_ref[v * (I * leaf_n):(v + 1) * (I * leaf_n), lo:lo + W],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        def plain_body(i, carry):
+            """One blind-rotation iteration, full batch tile at once."""
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n0)
+            def _():
+                dma(i + 1, 1 - slot).start()
+
+            dma(i, slot).wait()
+            rotdec(i, 0, Bt)
+
+            build(0, 0, 0, slot)
             # per-(component, output-chunk) u32 accumulators (limb shifts
             # folded in as results arrive — smaller live state than per-
             # (component, limb) int32 chunks)
@@ -311,17 +359,9 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
             # placement adds; band building likewise runs in the shadow.
             pending = None
             for si, (v, g) in enumerate(steps):
-                buf = si % NBUF
-                if _skip == "mxu":
-                    p32 = jnp.zeros((GOL * leaf_n, Bt), jnp.int32)
-                else:
-                    p32 = jax.lax.dot_general(
-                        a_ref[buf],
-                        dec_ref[v * (I * leaf_n):(v + 1) * (I * leaf_n), :],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32)
+                p32 = dot(v, g, si % NBUF, 0, Bt)
                 if si + 1 < len(steps):
-                    build(*steps[si + 1], (si + 1) % NBUF)
+                    build(*steps[si + 1], (si + 1) % NBUF, slot)
                 if pending is not None:
                     place(*pending)
                 pending = (v, g, p32)
@@ -332,19 +372,132 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
                 out_ref[o * N:(o + 1) * N, :] += pfull
             return carry
 
-        jax.lax.fori_loop(0, n0, iter_body, 0)
+        def place_ref(v, g, p32, lo, W):
+            """Accumulate one dot result into upd_ref (limb shift folded)."""
+            for oo in range(GOL):
+                ol = g * GOL + oo
+                o, li = divmod(ol, nlimbs)
+                slu = (p32[oo * leaf_n:(oo + 1) * leaf_n, :]
+                       .astype(jnp.uint32)
+                       << np.uint32(BK_LIMB_BITS * (li + drop_sh)))
+                for q in quarters[v]:
+                    row = o * N + q * leaf_n
+                    upd_ref[row:row + leaf_n, lo:lo + W] = \
+                        upd_ref[row:row + leaf_n, lo:lo + W] + slu
 
-    return kernel, dict(N=N, n0=n0, k=k, I=I, G=G, W_g=W_g, L=L,
-                        leaf_n=leaf_n, GOL=GOL)
+        def stagger_sub(it, j, H):
+            """One staggered sub-iteration: half A's S dots of iteration
+            `it` interleaved (per _stagger_seq) with half B's dots of
+            iterations it-1/it, each half's serial place -> out-update ->
+            rotate/decompose chain running in the shadow of the other
+            half's queued MXU dots. j = it & 1 (static), so band slots,
+            wbuf slots, and dec lanes are compile-time constants."""
+            maskA = it < n0          # A/B dots of iteration `it`
+            maskB1 = it >= 1         # Bp dots of iteration it-1 (<= n0-1)
+            slot = lambda s: (j * S + s) % NBUF          # bands of iter it
+            slotp = lambda s: ((1 - j) * S + s) % NBUF   # it-1 / it+1
+
+            @pl.when(it + 1 < n0)
+            def _():
+                dma(it + 1, 1 - j).start()
+
+            # shadow-task ticks (emitted after that tick's dot issues):
+            posA = {s: t for t, (hh, s) in enumerate(seq) if hh == "A"}
+            builds_at = {}
+            for s, t in posA.items():
+                if t >= 2:                      # band for this iteration
+                    builds_at.setdefault(t - 2, []).append((0, s))
+                else:                           # band for iteration it+1
+                    builds_at.setdefault(len(seq) - 2 + t, []).append((1, s))
+            first_next = min(t for t, bs in builds_at.items()
+                             if any(off for off, _ in bs))
+            h1_tick = 3 * r_lag - 1             # after the covering A-run
+            h0_tick = len(seq) - 1
+
+            pend = []
+            for t, (hh, s) in enumerate(seq):
+                v, g = steps[s]
+                if hh == "A":
+                    pend.append((v, g, dot(v, g, slot(s), 0, H), 0, H))
+                elif hh == "B":
+                    pend.append((v, g, dot(v, g, slot(s), H, H), H, H))
+                else:                           # Bp: iteration it-1
+                    pend.append((v, g, dot(v, g, slotp(s), H, H), H, H))
+                if t == first_next - 1:
+                    # bands for it+1 read the other wbuf slot
+                    @pl.when(it + 1 < n0)
+                    def _():
+                        dma(it + 1, 1 - j).wait()
+                for off, bs in builds_at.get(t, []):
+                    if off == 0:
+                        build(*steps[bs], slot(bs), j)
+                    else:
+                        build(*steps[bs], slotp(bs), 1 - j)
+                if len(pend) > 2:
+                    place_ref(*pend.pop(0))
+                if t == h1_tick:
+                    # half B finished iteration it-1: fold its update,
+                    # then rotate/decompose its iteration `it` — all in
+                    # the shadow of the just-issued A-run
+                    out_ref[:, H:] += upd_ref[:, H:]
+                    upd_ref[:, H:] = jnp.zeros((KP1N_, Bt - H), jnp.uint32)
+                    rotdec(it, H, H, mask=maskA)
+                if t == h0_tick:
+                    # half A finished iteration it: fold + advance to it+1
+                    # in the shadow of the trailing B-run
+                    out_ref[:, :H] += upd_ref[:, :H]
+                    upd_ref[:, :H] = jnp.zeros((KP1N_, H), jnp.uint32)
+                    rotdec(it + 1, 0, H, mask=it + 1 < n0)
+            while pend:
+                place_ref(*pend.pop(0))
+
+        if not stagger:
+            jax.lax.fori_loop(0, n0, plain_body, 0)
+        else:
+            H = Bt // 2
+            dma(0, 0).start()
+            out_ref[:, :] = acc_in_ref[:, :]
+            upd_ref[:, :] = jnp.zeros((KP1N_, Bt), jnp.uint32)
+            dec_ref[:, H:] = jnp.zeros((dec_ref.shape[0], Bt - H), jnp.int8)
+            dma(0, 0).wait()
+            rotdec(0, 0, H, mask=jnp.bool_(n0 > 0))
+            build(*steps[0], 0, 0)              # band (0, 0)
+
+            def body(m, carry):
+                stagger_sub(2 * m, 0, H)
+                stagger_sub(2 * m + 1, 1, H)
+                return carry
+
+            jax.lax.fori_loop(0, (n0 + 2) // 2, body, 0)
+
+    KP1N_ = (k + 1) * N
+
+    def kernel_entry(abar_ref, acc_in_ref, wext_hbm, out_ref,
+                     dec_ref, a_ref, wbuf_ref, sem_ref, *upd_scratch):
+        if not stagger:
+            # prologue for the plain schedule
+            def dma0():
+                return pltpu.make_async_copy(
+                    wext_hbm.at[0], wbuf_ref.at[0], sem_ref.at[0])
+            dma0().start()
+            out_ref[:, :] = acc_in_ref[:, :]
+        kernel(abar_ref, acc_in_ref, wext_hbm, out_ref,
+               dec_ref, a_ref, wbuf_ref, sem_ref, *upd_scratch)
+
+    return kernel_entry, dict(N=N, n0=n0, k=k, I=I, G=G, W_g=W_g, L=L,
+                              leaf_n=leaf_n, GOL=GOL, NBUF=NBUF,
+                              stagger=stagger)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("params", "b_tile", "nlimbs", "depth"))
+                   static_argnames=("params", "b_tile", "nlimbs", "depth",
+                                    "stagger"))
 def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
                         wext: jnp.ndarray, params: GateParams,
                         b_tile: int = 256,
                         nlimbs: int = BK_NLIMBS,
-                        depth: int = 0) -> jnp.ndarray:
+                        depth: int = 0,
+                        stagger: bool = None) -> jnp.ndarray:
     """Run the fused blind rotation.
 
     acc_init: [B, k+1, N] uint32 — rotated test vector (batched_test_vector).
@@ -359,10 +512,11 @@ def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
         raise NotImplementedError("digit-limb split requires depth 0")
     if lp.n % 128:
         raise NotImplementedError("pallas backend requires N % 128 == 0")
-    kernel, dims = _make_kernel(params, nlimbs, depth)
     B = acc_init.shape[0]
     bt = min(b_tile, B)
     assert B % bt == 0, (B, bt)
+    kernel, dims = _make_kernel(params, nlimbs, depth, b_tile=bt,
+                                want_stagger=stagger)
     N, k, n0 = dims["N"], dims["k"], dims["n0"]
     I, L, leaf_n, W_g = dims["I"], dims["L"], dims["leaf_n"], dims["W_g"]
     assert wext.shape[1] == W_g, (wext.shape, W_g, "wext/depth mismatch")
@@ -372,6 +526,18 @@ def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
 
     grid = (B // bt,)
     interp = jax.default_backend() != "tpu"
+    scratch = [
+        pltpu.VMEM((L * I * leaf_n, bt), jnp.int8),  # leaf operands
+        pltpu.VMEM((dims["NBUF"], dims["GOL"] * leaf_n, I * leaf_n),
+                   jnp.int8),                        # stacked band windows
+        pltpu.VMEM((2, W_g, wext.shape[2]), jnp.int8),  # key buffer
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if dims["stagger"]:
+        # per-iteration update accumulator (same row space as out_ref);
+        # persists across fori bodies so each half's placements can span
+        # the staggered sub-iteration boundary
+        scratch.append(pltpu.VMEM((KP1N, bt), jnp.uint32))
     out_t = pl.pallas_call(
         kernel,
         grid=grid,
@@ -385,15 +551,11 @@ def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
         out_specs=pl.BlockSpec((KP1N, bt), lambda b: (0, b),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((KP1N, B), jnp.uint32),
-        scratch_shapes=[
-            pltpu.VMEM((L * I * leaf_n, bt), jnp.int8),  # leaf operands
-            pltpu.VMEM((3, dims["GOL"] * leaf_n, I * leaf_n),
-                       jnp.int8),                        # stacked windows x3
-            pltpu.VMEM((2, W_g, wext.shape[2]), jnp.int8),  # key buffer
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
+            # the staggered schedule needs 6 band buffers + the update
+            # accumulator; 117M measured at the 128-bit set (hard cap 128M)
+            vmem_limit_bytes=(120 if dims["stagger"] else 110) * 1024 * 1024,
         ),
         interpret=interp,
     )(abar, acc_t, wext)

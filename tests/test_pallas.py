@@ -138,6 +138,33 @@ def test_pallas_k2_concrete_style_gate(rng):
         [a | b for a, b in zip(bits0, bits1)]
 
 
+def test_pallas_stagger_bitexact(rng):
+    """Staggered half-tile pipeline (batch tile >= 256 at depth 2): the
+    software-pipelined schedule — half B lagging half A by ~half an
+    iteration, boundary rotate/decompose in the other half's MXU shadow —
+    must stay bit-exact, including the masked pipeline warm-up/drain
+    iterations. PALLAS_KAR at B=256 is the smallest stagger-eligible
+    config (S=9 dot steps, bt=256 -> 128-lane halves)."""
+    from cufhe_tpu.ops.pallas_br import _make_kernel
+    sk = G.keygen(P.PALLAS_KAR, seed=40)
+    ek = G.make_eval_key(sk, seed=41)
+    p = sk.params
+    assert _make_kernel(p, 4, 2, b_tile=256)[1]["stagger"]
+    keys = K.prepare_keys(ek, backends=("pallas",))
+    Bn = 256
+    bits0 = rng.integers(2, size=Bn)
+    bits1 = rng.integers(2, size=Bn)
+    c0 = G.encrypt_bit_batch(bits0, sk, rng)
+    c1 = G.encrypt_bit_batch(bits1, sk, rng)
+    got = np.asarray(B.gate_lvl0(G.GATE_CONSTANTS["nand"], jnp.asarray(c0),
+                                 jnp.asarray(c1), keys, p, backend="pallas"))
+    idx = list(range(0, Bn, 41)) + [127, 128, 255]   # spot rows, both halves
+    want = np.stack([G.gate_lvl0("nand", c0[i], c1[i], ek) for i in idx])
+    assert np.array_equal(got[idx], want)
+    dec = np.array([G.decrypt_bit(g, sk) for g in got])
+    assert int(np.sum(dec != (1 - (bits0 & bits1)))) == 0
+
+
 @pytest.mark.parametrize("depth", [0, 1, 2])
 def test_pallas_karatsuba_bitexact(depth, rng, monkeypatch):
     """Block-Karatsuba external product must be bit-identical to the golden
