@@ -29,7 +29,7 @@ class DeviceKeys:
         the conv backend; output channel o*NLIMBS + limb.
     bk_limbs:   [n0, NLIMBS, (k+1)*l, k+1, N] int8 — natural order, for the
         Toeplitz backend.
-    ksk_limbs:  [NLIMBS, k1*N*t*numbase, k0*n0+1] bfloat16 — flattened KSK
+    ksk_limbs:  [NLIMBS, t*numbase*k1*N, k0*n0+1] bfloat16 — flattened KSK
         with contraction index j*(t*numbase) + dig*numbase + m (the
         reference's gather layout, keyswitch_gpu.cuh:68-71, transposed for
         the MXU). Stored as bf16 so the keyswitch dots run on the MXU with
@@ -107,8 +107,10 @@ def prepare_keys(ek: EvalKey, device=None,
     import ml_dtypes
 
     def _flat_ksk(limbs):
-        return np.moveaxis(limbs, 4, 0).reshape(NLIMBS, K, n0 + 1) \
-            .astype(ml_dtypes.bfloat16)
+        # row order (dig, m, j)-major, matching ks_decompose_coeffs's
+        # block-concatenated coefficient layout
+        return np.transpose(limbs, (4, 1, 2, 0, 3)).reshape(
+            NLIMBS, K, n0 + 1).astype(ml_dtypes.bfloat16)
 
     ksk_limbs = _flat_ksk(kl)
     # Negacyclic-reversal row permutation per lvl1 component block: lets

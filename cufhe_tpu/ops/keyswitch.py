@@ -19,30 +19,32 @@ U32 = jnp.uint32
 
 
 def ks_decompose_coeffs(a_in: jnp.ndarray, params: GateParams) -> jnp.ndarray:
-    """[B, d1] uint32 -> [B, d1*t*numbase] int8 selection coefficients.
+    """[B, d1] uint32 -> [B, t*numbase*d1] bfloat16 selection coefficients.
 
     Digit val in [-halfbase, halfbase); val = +(m+1) selects row m with -1,
     val = -(m+1) selects row m with +1 (the subtract-for-positive convention,
     keyswitch_gpu.cuh:72-73).
+
+    Contraction-axis order is (dig, m, j)-major — whole [B, d1] blocks
+    concatenated along lanes. The natural (j, dig, m) order interleaves the
+    t*numbase planes at lane granularity, which XLA lowers to cross-lane
+    shuffles of the full [B, K] matrix (measured 32 ms of a 34 ms key
+    switch at B=4096); block order makes the assembly a free concatenation.
+    prepare_keys lays the KSK rows out to match.
     """
     kp = params.ks
     mask = U32((1 << kp.basebit) - 1)
     halfbase = jnp.int32(1 << (kp.basebit - 1))
     off = U32((kp.decomp_offset + kp.roundoffset) % (1 << 32))
     tmp = a_in + off
-    coeffs = []
+    blocks = []
     for dig in range(kp.t):
         sh = U32(32 - (dig + 1) * kp.basebit)
         val = ((tmp >> sh) & mask).astype(jnp.int32) - halfbase  # [B, d1]
-        row = []
         for m in range(kp.numbase):
-            c = (val == -(m + 1)).astype(jnp.int8) \
-                - (val == (m + 1)).astype(jnp.int8)
-            row.append(c)
-        coeffs.append(jnp.stack(row, axis=-1))      # [B, d1, numbase]
-    co = jnp.stack(coeffs, axis=2)                   # [B, d1, t, numbase]
-    B = co.shape[0]
-    return co.reshape(B, -1)                          # j-major, then dig, m
+            blocks.append((val == -(m + 1)).astype(jnp.bfloat16)
+                          - (val == (m + 1)).astype(jnp.bfloat16))
+    return jnp.concatenate(blocks, axis=1)           # [B, t*nb*d1]
 
 
 def key_switch(tlwe1: jnp.ndarray, ksk_limbs: jnp.ndarray,
@@ -61,7 +63,7 @@ def key_switch(tlwe1: jnp.ndarray, ksk_limbs: jnp.ndarray,
         a_in = tlwe1[:, :d1]
         b_in = tlwe1[:, d1]
 
-    co = ks_decompose_coeffs(a_in, params)            # [B, K] int8
+    co = ks_decompose_coeffs(a_in, params)            # [B, K] bf16
     # bf16 x bf16 -> f32 dots: XLA lowers int8 dot_general to slow
     # non-MXU code (measured 25.4 ms/1024 vs 15.5 bf16 vs ~1 ms
     # roofline), so the KSK is limb-encoded straight to bf16 at key prep.
@@ -70,7 +72,7 @@ def key_switch(tlwe1: jnp.ndarray, ksk_limbs: jnp.ndarray,
     # representable in bf16) and every f32 partial sum is an integer
     # < K*128 <= 2^21 < 2^24 — never rounded.
     assert co.shape[1] * 128 < (1 << 24)
-    cob = co.astype(jnp.bfloat16)
+    cob = co
     out = jnp.zeros((co.shape[0], n0 + 1), dtype=U32)
     for l in range(NLIMBS):
         kl = ksk_limbs[l]
