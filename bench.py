@@ -27,10 +27,13 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "4096"))
     # Chain depth per timed rep. Gates chain device-resident (the
     # reference's g-gate model, cufhe_gates_gpu.cu:161-167) and the final
-    # D2H readback (~10 MB through the tunnel, ~60 ms) is amortized over
-    # the chain — matching the reference's headline, which times kernels
-    # with cudaEvents and keeps ciphertexts on device between gates.
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    # D2H readback (~10 MB through the tunnel, ~60 ms) plus the ~30 ms
+    # per-sync tunnel round trip are amortized over the chain — matching
+    # the reference's headline, which times kernels with cudaEvents and
+    # keeps ciphertexts on device between gates. 20 deep costs ~4.5 ms/gate
+    # of boundary overhead less than 10 deep and stresses noise harder
+    # (every rep decrypt-checked).
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
     backend = os.environ.get("BENCH_BACKEND", "auto")
     pname = os.environ.get("BENCH_PARAMS", "")
 
