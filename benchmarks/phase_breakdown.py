@@ -22,17 +22,25 @@ def _force(x):
     return np.asarray(jax.device_get(x))
 
 
-def timed(fn, *args, reps=5):
-    """Median wall time; completion forced through a 4-byte on-device
-    reduction so the D2H through the tunnel doesn't pollute the phase
-    timing (the headline bench amortizes readback over a gate chain)."""
+def timed(fn, *args, reps=4, inner=4):
+    """Median over reps of (inner async enqueues + one forced sync)/inner.
+
+    Through the axon tunnel a single enqueue+sync costs ~30 ms of host
+    round-trip regardless of the program (measured: a [4096,14336] bf16
+    copy and a full 500 ms gate both pay it) — pipelining `inner`
+    same-program calls before the one sync amortizes it to ~30/inner ms.
+    Phases cheaper than ~10 ms are still reported dispatch-bound; the
+    subtracted `null_ms` baseline in the output is the resolution floor.
+    """
     red = jax.jit(lambda y: jnp.sum(y.astype(jnp.uint32)))
     _force(red(fn(*args)))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        _force(red(fn(*args)))
-        ts.append(time.perf_counter() - t0)
+        for _ in range(inner):
+            out = fn(*args)
+        _force(red(out))
+        ts.append((time.perf_counter() - t0) / inner)
     return sorted(ts)[len(ts) // 2]
 
 
@@ -85,8 +93,11 @@ if __name__ == "__main__":
     tlwe1 = sample_extract_for_ks(acc, params.lvl1)
     _force(tlwe1)
 
+    null = jax.jit(lambda a, b, k: a)
+
     r = {
         "batch": batch,
+        "null_ms": round(timed(null, in0, in1, keys) * 1e3, 1),
         "full_nand_ms": round(timed(nand, in0, in1, keys) * 1e3, 1),
         "blind_rotate_ms": round(timed(br_only, in0, in1, keys) * 1e3, 1),
         "extract_ks_ms": round(timed(ks_only, acc, keys) * 1e3, 1),

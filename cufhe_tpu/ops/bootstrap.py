@@ -112,6 +112,42 @@ def blind_rotate(a: jnp.ndarray, b: jnp.ndarray, mu: int, keys: DeviceKeys,
         return blind_rotate_pallas(acc, abar, keys.bk_wext, params,
                                    b_tile=bt, nlimbs=nlimbs, depth=depth)
 
+    if backend == "ntt":
+        # USE_SMALL_NTT_MODULUS gate mode (ntt_small_modulus.cuh; facade
+        # ntt.cuh:49-178): digits and BK lifted to the RAINTT prime, the
+        # external product as fwd-NTT -> pointwise Shoup MAC -> inv-NTT,
+        # the accumulator round-tripped through the torus<->mod-p
+        # discretization each iteration exactly as the reference's
+        # NTTInv(Add)WithModSwitch does. Capability/parity path: the
+        # discretization adds ~2^12-scale phase noise (negligible vs the
+        # ~2^25 blind-rotation noise) but the MXU convolution backends
+        # dominate it on TPU throughput — see docs/DESIGN.md.
+        from .ntt import (P, addmod, make_tables, mod_to_torus_jax,
+                          mulmod_shoup, ntt_forward, ntt_inverse)
+        tabs = {k: jnp.asarray(v) for k, v in make_tables(lp.nbit).items()}
+        I = (lp.k + 1) * lp.l
+
+        def ntt_body(i, acc):
+            a_i = lax.dynamic_index_in_dim(a, i, axis=1, keepdims=False)
+            a_bar = _mod_switch(a_i + roundoffset, lp.nbit)
+            dec = decompose_rotate_sub(acc, a_bar, lp)   # [B, I, N] int32
+            dmod = jnp.where(dec < 0, dec + jnp.int32(P), dec).astype(U32)
+            dntt = ntt_forward(dmod, tabs)
+            bk_i = lax.dynamic_index_in_dim(keys.bk_ntt, i, 0, False)
+            sh_i = lax.dynamic_index_in_dim(keys.bk_ntt_shoup, i, 0, False)
+            outs = []
+            for o in range(lp.k + 1):
+                s = None
+                for r in range(I):
+                    t = mulmod_shoup(dntt[:, r], bk_i[None, r, o],
+                                     sh_i[None, r, o])
+                    s = t if s is None else addmod(s, t)
+                outs.append(s)
+            upd = ntt_inverse(jnp.stack(outs, axis=1), tabs)
+            return acc + mod_to_torus_jax(upd)
+
+        return lax.fori_loop(0, n0, ntt_body, acc)
+
     def body(i, acc):
         a_i = lax.dynamic_index_in_dim(a, i, axis=1, keepdims=False)
         a_bar = _mod_switch(a_i + roundoffset, lp.nbit)

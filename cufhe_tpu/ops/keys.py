@@ -40,6 +40,10 @@ class DeviceKeys:
         equals KS(SampleExtractIndex0(acc)) without the device-side lane
         reverse.
     bk_wext:    [n0, 2N, BK_COPIES*G] int8 — pallas pre-rotated band format.
+    bk_ntt / bk_ntt_shoup: [n0, (k+1)*l, k+1, N] uint32 — BK discretized to
+        the RAINTT modulus and forward-transformed, with Shoup companions
+        (the USE_SMALL_NTT_MODULUS key form, ntt_small_modulus.cuh;
+        'ntt' backend only).
 
     Only the formats for the requested backends are materialized (the pallas
     wext is BK_COPIES x the BK size in HBM); absent ones hold a zero-size
@@ -50,6 +54,8 @@ class DeviceKeys:
     ksk_limbs: jnp.ndarray
     ksk_limbs_sei: jnp.ndarray
     bk_wext: jnp.ndarray
+    bk_ntt: jnp.ndarray
+    bk_ntt_shoup: jnp.ndarray
 
 
 def prepare_trgsw(trgsw: np.ndarray, params: GateParams) -> dict:
@@ -119,6 +125,16 @@ def prepare_keys(ek: EvalKey, device=None,
     perm = np.concatenate([perm[:, :1], perm[:, :0:-1]], axis=1).reshape(-1)
     ksk_limbs_sei = _flat_ksk(kl[perm])
 
+    if "ntt" in want:
+        from .ntt import (make_tables, ntt_forward_host, shoup_precompute,
+                          torus_to_mod_host)
+        tabs = make_tables(lp.nbit)
+        bk_ntt = ntt_forward_host(torus_to_mod_host(ek.bk), tabs)
+        bk_ntt_shoup = shoup_precompute(bk_ntt)
+    else:
+        bk_ntt = np.zeros((0,), dtype=np.uint32)
+        bk_ntt_shoup = np.zeros((0,), dtype=np.uint32)
+
     if "pallas" in want or "pallas3" in want:
         from .pallas_br import kar_depth, prepare_wext
         if "pallas" in want and "pallas3" in want:
@@ -138,4 +154,5 @@ def prepare_keys(ek: EvalKey, device=None,
         put = lambda x: jnp.asarray(np.ascontiguousarray(x))
     return DeviceKeys(bk_filters=put(filt), bk_limbs=put(bk_limbs),
                       ksk_limbs=put(ksk_limbs),
-                      ksk_limbs_sei=put(ksk_limbs_sei), bk_wext=put(wext))
+                      ksk_limbs_sei=put(ksk_limbs_sei), bk_wext=put(wext),
+                      bk_ntt=put(bk_ntt), bk_ntt_shoup=put(bk_ntt_shoup))

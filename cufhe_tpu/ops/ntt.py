@@ -131,10 +131,47 @@ def torus_to_mod(a: jnp.ndarray, p: int = P) -> jnp.ndarray:
 
 def mod_to_torus(x: np.ndarray, p: int = P) -> np.ndarray:
     """round(x * 2^32 / p) mod 2^32 — ntt_mod_to_torus32
-    (ntt_small_modulus.cuh:58-73). Host-side (NumPy u64): this conversion
-    happens only at path boundaries."""
+    (ntt_small_modulus.cuh:58-73). Host-side (NumPy u64) exact form."""
     x = np.asarray(x, dtype=np.uint64)
     return (((x << 32) + p // 2) // p).astype(np.uint32)
+
+
+def mod_to_torus_jax(x: jnp.ndarray, p: int = P) -> jnp.ndarray:
+    """Device mod_to_torus: x * floor(2^64/p) >> 32 in u32 arithmetic.
+
+    |error| <= 2 torus LSB vs the exact rounding division — orders of
+    magnitude below the path's inherent 2^32/p discretization noise (the
+    'WithModSwitch' conversions of ntt_small_modulus.cuh:151-179 carry the
+    same quantization class)."""
+    inv = (1 << 64) // p                            # 35-bit constant
+    hi, lo = np.uint32(inv >> 32), np.uint32(inv & 0xFFFFFFFF)
+    return x * U32(hi) + _mulhi_u32(x, U32(lo))
+
+
+def torus_to_mod_host(a: np.ndarray, p: int = P) -> np.ndarray:
+    """Exact host-side torus32_to_ntt_mod: round(a * p / 2^32) mod p."""
+    q = ((np.asarray(a, dtype=np.uint64) * p + (1 << 31)) >> 32)
+    return np.where(q >= p, q - p, q).astype(np.uint32)
+
+
+def ntt_forward_host(a: np.ndarray, tables: dict, p: int = P) -> np.ndarray:
+    """NumPy u64 forward negacyclic NTT (same CT structure as ntt_forward):
+    one-time key preparation for the 'ntt' gate backend — the analogue of
+    __TRGSW2NTT__ at Initialize() (bootstrap_gpu.cu:111-143)."""
+    a = np.asarray(a, dtype=np.uint64) % p
+    N = a.shape[-1]
+    psi = tables["psi_rev"].astype(np.uint64)
+    lead = a.shape[:-1]
+    t, m = N, 1
+    while m < N:
+        t //= 2
+        x = a.reshape(lead + (m, 2, t))
+        w = psi[m:2 * m].reshape((1,) * len(lead) + (m, 1))
+        u, v = x[..., 0, :], (x[..., 1, :] * w) % p
+        a = np.stack([(u + v) % p, (u + p - v) % p],
+                     axis=-2).reshape(lead + (N,))
+        m *= 2
+    return a.astype(np.uint32)
 
 
 # ---------------------------------------------------------------------------

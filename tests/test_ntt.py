@@ -103,3 +103,58 @@ def test_torus_polymul_via_small_modulus(rng):
     diff = np.minimum(got - want, want - got).astype(np.int64)
     bound = N * 32 * ((1 << 32) // ntt.P + 1)
     assert diff.max() <= bound
+
+
+def test_mod_to_torus_jax_close(rng):
+    """Device mod->torus conversion within 2 LSB of the exact division."""
+    x = rng.integers(0, ntt.P, 8192).astype(np.uint32)
+    got = np.asarray(ntt.mod_to_torus_jax(jnp.asarray(x)))
+    want = ntt.mod_to_torus(x)
+    diff = np.minimum(got - want, want - got)
+    assert diff.max() <= 2
+
+
+def test_ntt_forward_host_matches_device(rng):
+    tab = ntt.make_tables(6)
+    a = rng.integers(0, ntt.P, (5, 64)).astype(np.uint32)
+    host = ntt.ntt_forward_host(a, tab)
+    dev = np.asarray(ntt.ntt_forward(jnp.asarray(a), tab))
+    assert np.array_equal(host, dev)
+
+
+def test_ntt_backend_gate(tiny_key, rng):
+    """The USE_SMALL_NTT_MODULUS gate mode end to end: NAND through the
+    'ntt' blind-rotate backend decrypts to the truth table and its phase
+    stays within the discretization-noise envelope of the exact path
+    (the reference tests this mode decrypt-only, test_gate_gpu.cc)."""
+    from cufhe_tpu import golden as G
+    from cufhe_tpu.ops import bootstrap as B
+    from cufhe_tpu.ops import keys as K
+
+    sk, ek = tiny_key
+    p = sk.params
+    keys = K.prepare_keys(ek, backends=("ntt",))
+    bits0, bits1 = [0, 1, 0, 1], [0, 0, 1, 1]
+    c0 = [G.encrypt_bit(b, sk, rng) for b in bits0]
+    c1 = [G.encrypt_bit(b, sk, rng) for b in bits1]
+    in0 = jnp.asarray(np.stack(c0))
+    in1 = jnp.asarray(np.stack(c1))
+    got = np.asarray(B.gate_lvl0(G.GATE_CONSTANTS["nand"], in0, in1, keys,
+                                 p, backend="ntt"))
+    dec = [G.decrypt_bit(g, sk) for g in got]
+    assert dec == [1 - (a & b) for a, b in zip(bits0, bits1)]
+    # phase distance to the exact path stays far inside the mu/2 margin
+    # (TLWE masks legitimately diverge between paths; only the phase
+    # b - <a, s> is comparable)
+    want = np.stack([G.gate_lvl0("nand", a, b, ek)
+                     for a, b in zip(c0, c1)])
+    ph_g = np.array([G.tlwe_phase(g, sk.lvl0) for g in got], dtype=np.uint32)
+    ph_w = np.array([G.tlwe_phase(w, sk.lvl0) for w in want],
+                    dtype=np.uint32)
+    diff = np.minimum(ph_g - ph_w, ph_w - ph_g).astype(np.int64)
+    # The dominant term is TINY's own gadget-truncation noise (only
+    # l*Bgbit = 12 bits kept -> ~2^24-25 per path) decorrelating between
+    # the two paths once their accumulators diverge; the mod-p
+    # discretization itself contributes only ~2^13 here. Well inside the
+    # mu/2 = 2^28 decision margin.
+    assert diff.max() < (1 << 26), diff.max()
