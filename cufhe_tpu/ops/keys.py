@@ -30,10 +30,12 @@ class DeviceKeys:
     bk_limbs:   [n0, NLIMBS, (k+1)*l, k+1, N] int8 — natural order, for the
         Toeplitz backend.
     ksk_limbs:  [NLIMBS, t*numbase*k1*N, k0*n0+1] bfloat16 — flattened KSK
-        with contraction index j*(t*numbase) + dig*numbase + m (the
-        reference's gather layout, keyswitch_gpu.cuh:68-71, transposed for
-        the MXU). Stored as bf16 so the keyswitch dots run on the MXU with
-        no per-call cast; the int8 limb values are exactly representable.
+        with contraction index (dig*numbase + m)*k1*N + j — (dig, m, j)
+        block-major, matching ks_decompose_coeffs's lane-concatenated
+        selection layout (the reference's gather layout,
+        keyswitch_gpu.cuh:68-71, transposed for the MXU). Stored as bf16
+        so the keyswitch dots run on the MXU with no per-call cast; the
+        int8 limb values are exactly representable.
     ksk_limbs_sei: same, with each per-component row block permuted by the
         negacyclic index reversal j -> (N - j) mod N, so a key switch fed
         the elementwise KS-input extraction (poly.sample_extract_for_ks)

@@ -120,6 +120,52 @@ def _leaf_quarters(path, depth: int):
     return qs
 
 
+def _stagger_builds_at(seq, S: int):
+    """Band-build tick schedule for one staggered sub-iteration: the band
+    for an A-dot at tick t is built at tick t-2 (same iteration, off=0);
+    ticks 0/1's bands were built late in the PREVIOUS body (off=1)."""
+    posA = {s: t for t, (hh, s) in enumerate(seq) if hh == "A"}
+    builds_at = {}
+    for s, t in posA.items():
+        if t >= 2:
+            builds_at.setdefault(t - 2, []).append((0, s))
+        else:
+            builds_at.setdefault(len(seq) - 2 + t, []).append((1, s))
+    return builds_at
+
+
+def _stagger_schedule_ok(S: int, NBUF: int, seq) -> bool:
+    """Simulate the rotating band-buffer contents over consecutive bodies
+    and check every dot reads the band that is actually resident when it
+    issues. With too few buffers a build for a later step can overwrite a
+    slot before the trailing half-B dots of the same iteration read it
+    (real case: S=8 with NBUF=4 corrupts lanes [bt/2:]); the shipped
+    S=4/6/9 configs are safe with the divisor-picked NBUF, but safety is
+    a property of the whole (S, NBUF, seq) triple, so it is verified here
+    rather than assumed."""
+    builds_at = _stagger_builds_at(seq, S)
+    content = {}
+    content[0 % NBUF] = (0, 0)            # prologue build of step 0
+    for body in range(4):                 # steady state reached by body 2
+        j = body % 2
+        slot = lambda s: (j * S + s) % NBUF
+        slotp = lambda s: ((1 - j) * S + s) % NBUF
+        for t, (hh, s) in enumerate(seq):
+            if hh in ("A", "B"):
+                want, sig = (body, s), slot(s)
+            else:                          # Bp: iteration body-1
+                want, sig = (body - 1, s), slotp(s)
+            if not (body == 0 and hh == "Bp"):   # warm-up Bp is masked
+                if content.get(sig) != want:
+                    return False
+            for off, bs in builds_at.get(t, []):
+                if off == 0:
+                    content[slot(bs)] = (body, bs)
+                else:
+                    content[slotp(bs)] = (body + 1, bs)
+    return True
+
+
 def _stagger_seq(S: int):
     """Dot-issue order for the staggered half-tile pipeline: one body covers
     half A's S dots of iteration i and half B's S dots lagging ~S/2 behind
@@ -198,11 +244,18 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
     # lanes that split into two >=128 halves. CUFHE_STAGGER=0 disables
     # (perf A/B); section-skip debug modes use the plain schedule.
     seq, r_lag = _stagger_seq(S)
-    NBUF_ST = next((d for d in (6, 4, 3, 2) if (2 * S) % d == 0), 2)
+    # Band-buffer count: largest candidate that keeps slot rotation
+    # consistent across bodies ((2S) % d == 0) AND passes the schedule
+    # simulation — some S land every safe count above the VMEM budget
+    # (e.g. S=8 needs 8 buffers; 4 provably corrupts half the tile), in
+    # which case the staggered schedule is disabled rather than risked.
+    NBUF_ST = next((d for d in (6, 4, 3, 2)
+                    if (2 * S) % d == 0 and seq is not None
+                    and _stagger_schedule_ok(S, d, seq)), None)
     if want_stagger is None:
         want_stagger = os.environ.get("CUFHE_STAGGER", "1") == "1"
-    stagger = (seq is not None and not _skip and b_tile % 256 == 0
-               and want_stagger)
+    stagger = (seq is not None and NBUF_ST is not None and not _skip
+               and b_tile % 256 == 0 and want_stagger)
     NBUF = NBUF_ST if stagger else 3
 
     def kernel(abar_ref, acc_in_ref, wext_hbm, out_ref,
@@ -392,8 +445,11 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
             rotate/decompose chain running in the shadow of the other
             half's queued MXU dots. j = it & 1 (static), so band slots,
             wbuf slots, and dec lanes are compile-time constants."""
-            maskA = it < n0          # A/B dots of iteration `it`
-            maskB1 = it >= 1         # Bp dots of iteration it-1 (<= n0-1)
+            # A/B dots of iteration `it` are masked past the end; the
+            # warm-up Bp dots of "iteration -1" need no mask — the
+            # prologue zeroes half B's dec plane, so they contribute
+            # exact zeros.
+            maskA = it < n0
             slot = lambda s: (j * S + s) % NBUF          # bands of iter it
             slotp = lambda s: ((1 - j) * S + s) % NBUF   # it-1 / it+1
 
@@ -401,14 +457,9 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
             def _():
                 dma(it + 1, 1 - j).start()
 
-            # shadow-task ticks (emitted after that tick's dot issues):
-            posA = {s: t for t, (hh, s) in enumerate(seq) if hh == "A"}
-            builds_at = {}
-            for s, t in posA.items():
-                if t >= 2:                      # band for this iteration
-                    builds_at.setdefault(t - 2, []).append((0, s))
-                else:                           # band for iteration it+1
-                    builds_at.setdefault(len(seq) - 2 + t, []).append((1, s))
+            # shadow-task ticks (emitted after that tick's dot issues);
+            # the same mapping feeds _stagger_schedule_ok's safety check
+            builds_at = _stagger_builds_at(seq, S)
             first_next = min(t for t, bs in builds_at.items()
                              if any(off for off, _ in bs))
             h1_tick = 3 * r_lag - 1             # after the covering A-run

@@ -165,6 +165,59 @@ def test_pallas_stagger_bitexact(rng):
     assert int(np.sum(dec != (1 - (bits0 & bits1)))) == 0
 
 
+def test_stagger_schedule_safety():
+    """The staggered pipeline's rotating band-buffer count must be proven
+    safe by schedule simulation, not assumed from divisibility: S=8 (the
+    TFHEPP_80 dot-step count) passes the old (2S) % NBUF == 0 check with
+    NBUF=4 but a later build overwrites a slot before the lagging half-B
+    dots of the same iteration read it — corrupting lanes [bt/2:]. The
+    kernel must refuse to stagger such shapes."""
+    from cufhe_tpu.ops.pallas_br import (BK_NLIMBS, _make_kernel,
+                                         _stagger_schedule_ok, _stagger_seq,
+                                         kar_depth)
+    # Shipped staggered configs and their picked buffer counts are safe.
+    for S, nbuf in [(9, 6), (6, 6), (4, 4)]:
+        seq, _ = _stagger_seq(S)
+        assert seq is not None
+        assert _stagger_schedule_ok(S, nbuf, seq)
+    # S=8: every VMEM-feasible candidate either fails divisibility or the
+    # simulation — no staggered schedule exists below 8 buffers.
+    seq8, _ = _stagger_seq(8)
+    assert seq8 is not None
+    assert not any((2 * 8) % d == 0 and _stagger_schedule_ok(8, d, seq8)
+                   for d in (6, 4, 3, 2))
+    # ... so the production TFHEPP_80 kernel must fall back to the plain
+    # 3-buffer schedule instead of silently corrupting half of each tile.
+    p = P.TFHEPP_80
+    _, meta = _make_kernel(p, BK_NLIMBS, kar_depth(p.lvl1), b_tile=256)
+    assert meta["stagger"] is False and meta["NBUF"] == 3
+
+
+def test_pallas_forced_s8_bitexact(pallas_key, rng, monkeypatch):
+    """Regression for the S=8 corruption: force NG=8 dot steps per
+    iteration (CUFHE_GOL=1) on the tiny set at a stagger-eligible batch
+    (256 -> two 128-lane halves). Before the schedule checker this shape
+    staggered with NBUF=4 and produced wrong values in rows [128:]; now it
+    must take the plain schedule and stay bit-exact in both halves."""
+    monkeypatch.setenv("CUFHE_GOL", "1")
+    from cufhe_tpu.ops.pallas_br import BK_NLIMBS, _make_kernel
+    sk, ek = pallas_key
+    p = sk.params
+    _, meta = _make_kernel(p, BK_NLIMBS, 0, b_tile=256)
+    assert meta["GOL"] == 1 and meta["stagger"] is False
+    keys = K.prepare_keys(ek, backends=("pallas",))
+    Bn = 256
+    bits0 = rng.integers(2, size=Bn)
+    bits1 = rng.integers(2, size=Bn)
+    c0 = G.encrypt_bit_batch(bits0, sk, rng)
+    c1 = G.encrypt_bit_batch(bits1, sk, rng)
+    got = np.asarray(B.gate_lvl0(G.GATE_CONSTANTS["nand"], jnp.asarray(c0),
+                                 jnp.asarray(c1), keys, p, backend="pallas"))
+    idx = [0, 1, 64, 127, 128, 129, 200, 255]       # spot rows, both halves
+    want = np.stack([G.gate_lvl0("nand", c0[i], c1[i], ek) for i in idx])
+    assert np.array_equal(got[idx], want)
+
+
 @pytest.mark.parametrize("depth", [0, 1, 2])
 def test_pallas_karatsuba_bitexact(depth, rng, monkeypatch):
     """Block-Karatsuba external product must be bit-identical to the golden
