@@ -17,7 +17,31 @@ import time
 import numpy as np
 
 
+def _wait_for_device() -> None:
+    """Ride out transient TPU-link outages before committing this process
+    to backend init (init can HANG, not just raise, while the forwarded
+    link is down — so probe in a killable subprocess first)."""
+    import subprocess
+    tries = int(os.environ.get("BENCH_INIT_RETRIES", "6"))
+    for i in range(tries):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=180, capture_output=True)
+            if probe.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if i < tries - 1:
+            print(f"device link down (probe {i + 1}/{tries}); "
+                  "retrying in 120 s", file=sys.stderr)
+            time.sleep(120)
+    print("device link still down after retries; proceeding anyway",
+          file=sys.stderr)
+
+
 def main() -> None:
+    _wait_for_device()
     import jax
 
     from cufhe_tpu import PRESETS, TFHEPP_128, golden as G
