@@ -257,6 +257,12 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
     stagger = (seq is not None and NBUF_ST is not None and not _skip
                and b_tile % 256 == 0 and want_stagger)
     NBUF = NBUF_ST if stagger else 3
+    # Placement-queue depth (perf A/B): how many issued-but-unplaced dot
+    # results ride between the MXU and the VPU placement adds. Correctness
+    # is depth-independent (folds flush their half first); deeper queues
+    # widen the MXU shadow over VPU work at the cost of live int32 result
+    # tiles in VMEM.
+    PEND = max(1, int(os.environ.get("CUFHE_PEND", "2")))
 
     def kernel(abar_ref, acc_in_ref, wext_hbm, out_ref,
                dec_ref, a_ref, wbuf_ref, sem_ref, *upd_scratch):
@@ -465,6 +471,17 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
             h1_tick = 3 * r_lag - 1             # after the covering A-run
             h0_tick = len(seq) - 1
 
+            def flush_half(pend, lo):
+                """Apply (and drop) every pending placement targeting the
+                half that starts at `lo` — its fold is about to read
+                upd_ref, so those adds must land first. Placements are
+                exact u32 adds, so applying them out of queue order is
+                semantics-preserving."""
+                keep = []
+                for p in pend:
+                    (place_ref(*p) if p[3] == lo else keep.append(p))
+                return keep
+
             pend = []
             for t, (hh, s) in enumerate(seq):
                 v, g = steps[s]
@@ -484,18 +501,20 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
                         build(*steps[bs], slot(bs), j)
                     else:
                         build(*steps[bs], slotp(bs), 1 - j)
-                if len(pend) > 2:
+                if len(pend) > PEND:
                     place_ref(*pend.pop(0))
                 if t == h1_tick:
                     # half B finished iteration it-1: fold its update,
                     # then rotate/decompose its iteration `it` — all in
                     # the shadow of the just-issued A-run
+                    pend = flush_half(pend, H)
                     out_ref[:, H:] += upd_ref[:, H:]
                     upd_ref[:, H:] = jnp.zeros((KP1N_, Bt - H), jnp.uint32)
                     rotdec(it, H, H, mask=maskA)
                 if t == h0_tick:
                     # half A finished iteration it: fold + advance to it+1
                     # in the shadow of the trailing B-run
+                    pend = flush_half(pend, 0)
                     out_ref[:, :H] += upd_ref[:, :H]
                     upd_ref[:, :H] = jnp.zeros((KP1N_, H), jnp.uint32)
                     rotdec(it + 1, 0, H, mask=it + 1 < n0)
