@@ -134,22 +134,23 @@ def _stagger_builds_at(seq, S: int):
     return builds_at
 
 
-def _stagger_schedule_ok(S: int, NBUF: int, seq) -> bool:
+def _stagger_schedule_ok(S: int, NBUF: int, seq, O: int) -> bool:
     """Simulate the rotating band-buffer contents over consecutive bodies
     and check every dot reads the band that is actually resident when it
-    issues. With too few buffers a build for a later step can overwrite a
-    slot before the trailing half-B dots of the same iteration read it
-    (real case: S=8 with NBUF=4 corrupts lanes [bt/2:]); the shipped
-    S=4/6/9 configs are safe with the divisor-picked NBUF, but safety is
-    a property of the whole (S, NBUF, seq) triple, so it is verified here
-    rather than assumed."""
+    issues. Band slots alternate between two static assignments (the body
+    index enters only through its parity j): even bodies use s % NBUF, odd
+    bodies (O + s) % NBUF. With a bad (NBUF, O) a build for a later step
+    overwrites a slot before the lagging half-B dots of an earlier
+    iteration read it (real case: S=8 with NBUF=4, O=0 corrupts lanes
+    [bt/2:]); safety is a property of the whole (S, NBUF, O, seq) tuple,
+    so it is verified here rather than assumed."""
     builds_at = _stagger_builds_at(seq, S)
     content = {}
     content[0 % NBUF] = (0, 0)            # prologue build of step 0
-    for body in range(4):                 # steady state reached by body 2
+    for body in range(6):                 # steady state reached by body 2
         j = body % 2
-        slot = lambda s: (j * S + s) % NBUF
-        slotp = lambda s: ((1 - j) * S + s) % NBUF
+        slot = lambda s: (j * O + s) % NBUF
+        slotp = lambda s: ((1 - j) * O + s) % NBUF
         for t, (hh, s) in enumerate(seq):
             if hh in ("A", "B"):
                 want, sig = (body, s), slot(s)
@@ -164,6 +165,30 @@ def _stagger_schedule_ok(S: int, NBUF: int, seq) -> bool:
                 else:
                     content[slotp(bs)] = (body + 1, bs)
     return True
+
+
+def _pick_stagger_buffers(S: int, seq):
+    """Choose (NBUF, O): the band-buffer count and the odd-body slot
+    offset, searched over candidates and accepted only when the schedule
+    simulation proves every dot reads a resident band. The original
+    mapping (O = S % NBUF) is preferred when safe so measured configs
+    keep their exact layout; otherwise any proven offset is used — this
+    is what makes S=8 (TFHEPP_80's dot-step count) staggerable at all
+    (NBUF=6, O=3), where the S-derived offset has no safe buffer count
+    below 8."""
+    if seq is None:
+        return None
+    # The original divisor-derived layout first: S=9/6/4 were measured
+    # with these exact buffer rotations, so keep them byte-identical.
+    for d in (6, 4, 3, 2):
+        if (2 * S) % d == 0 and _stagger_schedule_ok(S, d, seq, S % d):
+            return d, S % d
+    # Full (NBUF, O) search for shapes the original mapping cannot serve.
+    for d in (6, 4, 3, 2):
+        for O in sorted(range(d), key=lambda o: o != S % d):
+            if _stagger_schedule_ok(S, d, seq, O):
+                return d, O
+    return None
 
 
 def _stagger_seq(S: int):
@@ -244,19 +269,16 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
     # lanes that split into two >=128 halves. CUFHE_STAGGER=0 disables
     # (perf A/B); section-skip debug modes use the plain schedule.
     seq, r_lag = _stagger_seq(S)
-    # Band-buffer count: largest candidate that keeps slot rotation
-    # consistent across bodies ((2S) % d == 0) AND passes the schedule
-    # simulation — some S land every safe count above the VMEM budget
-    # (e.g. S=8 needs 8 buffers; 4 provably corrupts half the tile), in
-    # which case the staggered schedule is disabled rather than risked.
-    NBUF_ST = next((d for d in (6, 4, 3, 2)
-                    if (2 * S) % d == 0 and seq is not None
-                    and _stagger_schedule_ok(S, d, seq)), None)
+    # Band-buffer count + odd-body slot offset, proven safe by schedule
+    # simulation (see _pick_stagger_buffers); large S (>= 12) land no safe
+    # layout within the VMEM budget, in which case the staggered schedule
+    # is disabled rather than risked.
+    picked = _pick_stagger_buffers(S, seq)
     if want_stagger is None:
         want_stagger = os.environ.get("CUFHE_STAGGER", "1") == "1"
-    stagger = (seq is not None and NBUF_ST is not None and not _skip
+    stagger = (seq is not None and picked is not None and not _skip
                and b_tile % 256 == 0 and want_stagger)
-    NBUF = NBUF_ST if stagger else 3
+    NBUF, O_ST = picked if stagger else (3, 0)
     # Placement-queue depth (perf A/B): how many issued-but-unplaced dot
     # results ride between the MXU and the VPU placement adds. Correctness
     # is depth-independent (folds flush their half first); deeper queues
@@ -456,8 +478,8 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
             # prologue zeroes half B's dec plane, so they contribute
             # exact zeros.
             maskA = it < n0
-            slot = lambda s: (j * S + s) % NBUF          # bands of iter it
-            slotp = lambda s: ((1 - j) * S + s) % NBUF   # it-1 / it+1
+            slot = lambda s: (j * O_ST + s) % NBUF        # bands of iter it
+            slotp = lambda s: ((1 - j) * O_ST + s) % NBUF  # it-1 / it+1
 
             @pl.when(it + 1 < n0)
             def _():
@@ -555,7 +577,7 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
                dec_ref, a_ref, wbuf_ref, sem_ref, *upd_scratch)
 
     return kernel_entry, dict(N=N, n0=n0, k=k, I=I, G=G, W_g=W_g, L=L,
-                              leaf_n=leaf_n, GOL=GOL, NBUF=NBUF,
+                              leaf_n=leaf_n, GOL=GOL, NBUF=NBUF, O=O_ST,
                               stagger=stagger)
 
 

@@ -166,45 +166,51 @@ def test_pallas_stagger_bitexact(rng):
 
 
 def test_stagger_schedule_safety():
-    """The staggered pipeline's rotating band-buffer count must be proven
-    safe by schedule simulation, not assumed from divisibility: S=8 (the
-    TFHEPP_80 dot-step count) passes the old (2S) % NBUF == 0 check with
-    NBUF=4 but a later build overwrites a slot before the lagging half-B
+    """The staggered pipeline's band-buffer layout (count + odd-body slot
+    offset) must be proven safe by schedule simulation, not assumed: S=8
+    (the TFHEPP_80 dot-step count) under the old S-derived offset with
+    NBUF=4 lets a later build overwrite a slot before the lagging half-B
     dots of the same iteration read it — corrupting lanes [bt/2:]. The
-    kernel must refuse to stagger such shapes."""
+    searched offset (NBUF=6, O=3) is safe and keeps TFHEPP_80 on the
+    staggered schedule."""
     from cufhe_tpu.ops.pallas_br import (BK_NLIMBS, _make_kernel,
+                                         _pick_stagger_buffers,
                                          _stagger_schedule_ok, _stagger_seq,
                                          kar_depth)
-    # Shipped staggered configs and their picked buffer counts are safe.
-    for S, nbuf in [(9, 6), (6, 6), (4, 4)]:
+    # Shipped staggered layouts are safe (S, NBUF, odd-body offset).
+    for S, nbuf, off in [(9, 6, 3), (6, 6, 0), (4, 4, 0), (8, 6, 2)]:
         seq, _ = _stagger_seq(S)
         assert seq is not None
-        assert _stagger_schedule_ok(S, nbuf, seq)
-    # S=8: every VMEM-feasible candidate either fails divisibility or the
-    # simulation — no staggered schedule exists below 8 buffers.
+        assert _stagger_schedule_ok(S, nbuf, seq, off)
+        assert _pick_stagger_buffers(S, seq) == (nbuf, off)
+    # The S=8 corruption case: both divisor-eligible candidates of the old
+    # ((2S) % NBUF == 0)-only rule are provably unsafe — NBUF=4 (the one
+    # the old code picked and shipped) and NBUF=2.
     seq8, _ = _stagger_seq(8)
-    assert seq8 is not None
-    assert not any((2 * 8) % d == 0 and _stagger_schedule_ok(8, d, seq8)
-                   for d in (6, 4, 3, 2))
-    # ... so the production TFHEPP_80 kernel must fall back to the plain
-    # 3-buffer schedule instead of silently corrupting half of each tile.
+    assert not any(_stagger_schedule_ok(8, d, seq8, 8 % d) for d in (4, 2))
+    # Production TFHEPP_80 kernel: staggered via the proven layout.
     p = P.TFHEPP_80
     _, meta = _make_kernel(p, BK_NLIMBS, kar_depth(p.lvl1), b_tile=256)
-    assert meta["stagger"] is False and meta["NBUF"] == 3
+    assert meta["stagger"] is True and (meta["NBUF"], meta["O"]) == (6, 2)
+    # Very large S (>= 12): no safe layout within the VMEM budget — the
+    # kernel must fall back to the plain schedule, not guess.
+    seq12, _ = _stagger_seq(12)
+    assert _pick_stagger_buffers(12, seq12) is None
 
 
 def test_pallas_forced_s8_bitexact(pallas_key, rng, monkeypatch):
     """Regression for the S=8 corruption: force NG=8 dot steps per
     iteration (CUFHE_GOL=1) on the tiny set at a stagger-eligible batch
-    (256 -> two 128-lane halves). Before the schedule checker this shape
-    staggered with NBUF=4 and produced wrong values in rows [128:]; now it
-    must take the plain schedule and stay bit-exact in both halves."""
+    (256 -> two 128-lane halves). Under the old S-derived slot offset this
+    shape staggered with NBUF=4 and produced wrong values in rows [128:];
+    the searched (NBUF=6, O=2) layout must stay bit-exact in both halves."""
     monkeypatch.setenv("CUFHE_GOL", "1")
     from cufhe_tpu.ops.pallas_br import BK_NLIMBS, _make_kernel
     sk, ek = pallas_key
     p = sk.params
     _, meta = _make_kernel(p, BK_NLIMBS, 0, b_tile=256)
-    assert meta["GOL"] == 1 and meta["stagger"] is False
+    assert meta["GOL"] == 1 and meta["stagger"] is True
+    assert (meta["NBUF"], meta["O"]) == (6, 2)
     keys = K.prepare_keys(ek, backends=("pallas",))
     Bn = 256
     bits0 = rng.integers(2, size=Bn)
