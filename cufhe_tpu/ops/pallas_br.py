@@ -276,7 +276,11 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
     picked = _pick_stagger_buffers(S, seq)
     if want_stagger is None:
         want_stagger = os.environ.get("CUFHE_STAGGER", "1") == "1"
-    stagger = (seq is not None and picked is not None and not _skip
+    # Section-skip debug modes default to the plain schedule;
+    # CUFHE_SKIP_STAGGER=1 keeps the staggered schedule during skip
+    # profiling so its section exposure can be measured directly.
+    skip_ok = not _skip or os.environ.get("CUFHE_SKIP_STAGGER") == "1"
+    stagger = (seq is not None and picked is not None and skip_ok
                and b_tile % 256 == 0 and want_stagger)
     NBUF, O_ST = picked if stagger else (3, 0)
     # Placement-queue depth (perf A/B): how many issued-but-unplaced dot
