@@ -274,6 +274,13 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
     # layout within the VMEM budget, in which case the staggered schedule
     # is disabled rather than risked.
     picked = _pick_stagger_buffers(S, seq)
+    env_nbuf = os.environ.get("CUFHE_NBUF", "")   # perf A/B only
+    if env_nbuf and seq is not None:
+        d = int(env_nbuf)
+        # honor the override only when the simulator proves a safe offset
+        safe = next((O for O in sorted(range(d), key=lambda o: o != S % d)
+                     if _stagger_schedule_ok(S, d, seq, O)), None)
+        picked = (d, safe) if safe is not None else picked
     if want_stagger is None:
         want_stagger = os.environ.get("CUFHE_STAGGER", "1") == "1"
     # Section-skip debug modes default to the plain schedule;
