@@ -198,8 +198,11 @@ def _stagger_seq(S: int):
     consecutive A-run after the last Bp covers half B's serial boundary work
     (place → out update → rotate/decompose), and the trailing B-run covers
     half A's. Returns (sequence, r) or (None, 0) when S is too small to
-    pipeline this way."""
-    r = max(2, S // 3)
+    pipeline this way. Small S (2, 3 — e.g. CONCRETE's 3 dot steps) use
+    lag 1: a thinner shadow, but the structural constraints (all Bp dots
+    before the half-B fold at tick 3r-1, all B dots after) still hold and
+    the band-slot safety is proven by _stagger_schedule_ok as usual."""
+    r = max(2, S // 3) if S >= 4 else 1
     if S < 2 * r:
         return None, 0
     seq = []

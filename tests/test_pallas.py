@@ -224,6 +224,32 @@ def test_pallas_forced_s8_bitexact(pallas_key, rng, monkeypatch):
     assert np.array_equal(got[idx], want)
 
 
+def test_pallas_forced_s3_lag1_bitexact(rng, monkeypatch):
+    """S=3 (CONCRETE's dot-step count) staggers with lag r=1 — a thinner
+    pipeline whose structural constraints (every Bp dot before the half-B
+    fold, every B dot after) are tightest at this size. Force S=3 on the
+    tiny k=2 set (CUFHE_GOL=4: OL=12 -> NG=3) at a stagger-eligible batch
+    and check bit-exactness in both halves."""
+    monkeypatch.setenv("CUFHE_GOL", "4")
+    from cufhe_tpu.ops.pallas_br import BK_NLIMBS, _make_kernel
+    sk = G.keygen(P.PALLAS_TINY_K2, seed=50)
+    ek = G.make_eval_key(sk, seed=51)
+    p = sk.params
+    _, meta = _make_kernel(p, BK_NLIMBS, 0, b_tile=256)
+    assert meta["GOL"] == 4 and meta["stagger"] is True
+    keys = K.prepare_keys(ek, backends=("pallas",))
+    Bn = 256
+    bits0 = rng.integers(2, size=Bn)
+    bits1 = rng.integers(2, size=Bn)
+    c0 = G.encrypt_bit_batch(bits0, sk, rng)
+    c1 = G.encrypt_bit_batch(bits1, sk, rng)
+    got = np.asarray(B.gate_lvl0(G.GATE_CONSTANTS["xor"], jnp.asarray(c0),
+                                 jnp.asarray(c1), keys, p, backend="pallas"))
+    idx = [0, 1, 100, 127, 128, 129, 200, 255]      # spot rows, both halves
+    want = np.stack([G.gate_lvl0("xor", c0[i], c1[i], ek) for i in idx])
+    assert np.array_equal(got[idx], want)
+
+
 @pytest.mark.parametrize("depth", [0, 1, 2])
 def test_pallas_karatsuba_bitexact(depth, rng, monkeypatch):
     """Block-Karatsuba external product must be bit-identical to the golden
