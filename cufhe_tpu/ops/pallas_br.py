@@ -184,7 +184,9 @@ def _pick_stagger_buffers(S: int, seq):
         if (2 * S) % d == 0 and _stagger_schedule_ok(S, d, seq, S % d):
             return d, S % d
     # Full (NBUF, O) search for shapes the original mapping cannot serve.
-    for d in (6, 4, 3, 2):
+    # The tail (7..12, ascending = minimal VMEM) serves the block layout,
+    # whose longer build->B-read band lifetimes need NBUF >= S.
+    for d in (6, 4, 3, 2) + tuple(range(7, 13)):
         for O in sorted(range(d), key=lambda o: o != S % d):
             if _stagger_schedule_ok(S, d, seq, O):
                 return d, O
@@ -208,6 +210,16 @@ def _stagger_seq(S: int):
     seq = []
     for j in range(r):
         seq += [("A", j), ("Bp", S - r + j)]
+    if os.environ.get("CUFHE_SEQ", "lag") == "block":
+        # Block layout (perf A/B): every remaining A dot issues before the
+        # half-B fold, every B dot after — both folds' serial boundary
+        # chains (place -> out update -> rotate/decompose) then sit behind
+        # the deepest possible queue of independent dots (S - r of them,
+        # vs ~r in the lag layout). Structural constraints are unchanged:
+        # Bp dots all precede the fold, B dots all follow it.
+        seq += [("A", r + j) for j in range(S - r)]
+        seq += [("B", j) for j in range(S - r)]
+        return seq, r
     seq += [("A", r + j) for j in range(r)]
     seq += [("B", j) for j in range(r)]
     seq += [("A", j) for j in range(2 * r, S)]
@@ -273,9 +285,8 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
     # (perf A/B); section-skip debug modes use the plain schedule.
     seq, r_lag = _stagger_seq(S)
     # Band-buffer count + odd-body slot offset, proven safe by schedule
-    # simulation (see _pick_stagger_buffers); large S (>= 12) land no safe
-    # layout within the VMEM budget, in which case the staggered schedule
-    # is disabled rather than risked.
+    # simulation (see _pick_stagger_buffers); shapes with no safe layout
+    # fall back to the plain schedule rather than risk slot corruption.
     picked = _pick_stagger_buffers(S, seq)
     env_nbuf = os.environ.get("CUFHE_NBUF", "")   # perf A/B only
     if env_nbuf and seq is not None:
@@ -504,7 +515,11 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
             builds_at = _stagger_builds_at(seq, S)
             first_next = min(t for t, bs in builds_at.items()
                              if any(off for off, _ in bs))
-            h1_tick = 3 * r_lag - 1             # after the covering A-run
+            # the half-B fold sits just before the first B dot (which needs
+            # the dec plane the fold's rotdec produces), after the covering
+            # A-run — in both the lag and block layouts
+            h1_tick = min(t for t, (hh, _) in enumerate(seq)
+                          if hh == "B") - 1
             h0_tick = len(seq) - 1
 
             def flush_half(pend, lo):
