@@ -230,6 +230,35 @@ def test_pallas_forced_s8_bitexact(pallas_key, rng, monkeypatch):
     assert np.array_equal(got[idx], want)
 
 
+@pytest.mark.parametrize("layout", ["lag", "block"])
+def test_stagger_seq_structure(layout, monkeypatch):
+    """Structural invariants of every generated dot-issue sequence, both
+    layouts, S=2..16: each step dotted exactly once per half; every
+    previous-iteration (Bp) dot precedes the half-B fold tick and every
+    current-iteration B dot follows it (the fold rewrites half B's dec
+    plane, so violations are silent data corruption); every band build
+    lands before the dot that reads it."""
+    monkeypatch.setenv("CUFHE_SEQ", layout)
+    from cufhe_tpu.ops.pallas_br import _stagger_builds_at, _stagger_seq
+    for S in range(2, 17):
+        seq, r = _stagger_seq(S)
+        if seq is None:
+            continue
+        assert sorted(s for hh, s in seq if hh == "A") == list(range(S))
+        assert sorted(s for hh, s in seq if hh in ("B", "Bp")) == \
+            list(range(S))
+        h1 = min(t for t, (hh, _) in enumerate(seq) if hh == "B") - 1
+        assert all(t <= h1 for t, (hh, _) in enumerate(seq) if hh == "Bp")
+        assert all(t > h1 for t, (hh, _) in enumerate(seq) if hh == "B")
+        # A dots all issue by the end (h0 fold is the last tick, so no
+        # A-after-h0 case exists); builds precede their A dots
+        posA = {s: t for t, (hh, s) in enumerate(seq) if hh == "A"}
+        for t, bs in _stagger_builds_at(seq, S).items():
+            for off, s in bs:
+                if off == 0:
+                    assert t < posA[s], (S, s)
+
+
 def test_pallas_forced_s3_lag1_bitexact(rng, monkeypatch):
     """S=3 (CONCRETE's dot-step count) staggers with lag r=1 — a thinner
     pipeline whose structural constraints (every Bp dot before the half-B
