@@ -110,7 +110,9 @@ def blind_rotate(a: jnp.ndarray, b: jnp.ndarray, mu: int, keys: DeviceKeys,
         bt = B if B < cap else max(
             d for d in (cap, 512, 256, 128, 64, 32, 16, 8) if B % d == 0)
         return blind_rotate_pallas(acc, abar, keys.bk_wext, params,
-                                   b_tile=bt, nlimbs=nlimbs, depth=depth)
+                                   b_tile=bt, nlimbs=nlimbs, depth=depth,
+                                   prebands=tuple(
+                                       getattr(keys, "bk_prebands", ())))
 
     if backend == "ntt":
         # USE_SMALL_NTT_MODULUS gate mode (ntt_small_modulus.cuh; facade

@@ -58,6 +58,9 @@ class DeviceKeys:
     bk_wext: jnp.ndarray
     bk_ntt: jnp.ndarray
     bk_ntt_shoup: jnp.ndarray
+    #: optional tuple of precomputed band planes for the pallas kernel
+    #: (prepare_prebands; CUFHE_PREBAND env) — empty when off
+    bk_prebands: Any = ()
 
 
 def prepare_trgsw(trgsw: np.ndarray, params: GateParams) -> dict:
@@ -137,13 +140,14 @@ def prepare_keys(ek: EvalKey, device=None,
         bk_ntt = np.zeros((0,), dtype=np.uint32)
         bk_ntt_shoup = np.zeros((0,), dtype=np.uint32)
 
+    nl = depth = 0
     if "pallas" in want or "pallas3" in want:
         from .pallas_br import kar_depth, prepare_wext
         if "pallas" in want and "pallas3" in want:
             raise ValueError("choose one pallas key precision per Context")
         nl = 3 if "pallas3" in want else 4
-        wext = prepare_wext(ek.bk, p, nlimbs=nl,
-                            depth=kar_depth(p.lvl1, nl))
+        depth = kar_depth(p.lvl1, nl)
+        wext = prepare_wext(ek.bk, p, nlimbs=nl, depth=depth)
     else:
         wext = np.zeros((0,), dtype=np.int8)
 
@@ -154,7 +158,19 @@ def prepare_keys(ek: EvalKey, device=None,
             jnp.asarray(np.ascontiguousarray(x)), device)
     else:
         put = lambda x: jnp.asarray(np.ascontiguousarray(x))
+
+    wext_put = put(wext)
+    prebands = ()
+    if nl and not host:
+        from .pallas_br import preband_count, prepare_prebands
+        pbc = preband_count(p.lvl1, nl, depth)
+        if pbc:
+            # expand on device from the resident wext (the planes are
+            # ~128/BK_COPIES x the wext size — never host-materialized)
+            prebands = prepare_prebands(wext_put, p, nlimbs=nl, depth=depth,
+                                        count=pbc)
     return DeviceKeys(bk_filters=put(filt), bk_limbs=put(bk_limbs),
                       ksk_limbs=put(ksk_limbs),
-                      ksk_limbs_sei=put(ksk_limbs_sei), bk_wext=put(wext),
-                      bk_ntt=put(bk_ntt), bk_ntt_shoup=put(bk_ntt_shoup))
+                      ksk_limbs_sei=put(ksk_limbs_sei), bk_wext=wext_put,
+                      bk_ntt=put(bk_ntt), bk_ntt_shoup=put(bk_ntt_shoup),
+                      bk_prebands=prebands)

@@ -72,6 +72,89 @@ BK_LIMB_BITS = 8
 BK_COPIES = 16
 
 
+def band_grouping(lp: TrlweParams, nlimbs: int = BK_NLIMBS,
+                  depth: int = 0):
+    """Static kernel dimensions shared between the kernel builder and the
+    band-plane precompute: (nd, I, L, leaf_n, OL, GOL, NG).
+
+    GOL = how many (component, limb) operators stack into one MXU dot,
+    capped so one band-window buffer stays ~<=8 MB (leaves the 128-bit
+    depth-2 config at full stacking while keeping depth-1 N=1024 sets
+    like CGGI19 inside the VMEM budget). Overridable with CUFHE_GOL
+    (perf A/B only)."""
+    nd, _ = decomp_digit_limb_plan(lp.Bgbit)
+    I = (lp.k + 1) * lp.l * nd
+    L = 3 ** depth
+    leaf_n = lp.n >> depth
+    OL = (lp.k + 1) * nlimbs
+    per_ol = leaf_n * I * leaf_n
+    GOL = 1
+    for g in range(1, OL + 1):
+        if OL % g == 0 and g * per_ol <= (8 << 20):
+            GOL = g
+    env_gol = os.environ.get("CUFHE_GOL", "")   # perf A/B only
+    if env_gol and OL % int(env_gol) == 0:
+        GOL = int(env_gol)
+    return nd, I, L, leaf_n, OL, GOL, OL // GOL
+
+
+def preband_count(lp: TrlweParams, nlimbs: int = BK_NLIMBS,
+                  depth: int = 0) -> int:
+    """How many dot steps' band planes to precompute (CUFHE_PREBAND env,
+    clamped to the step count). 0 = off (default): bands are sheared in
+    VMEM by the kernel. >0 trades HBM (~3 MB x count x n0 at the 128-bit
+    set) for removing the in-kernel band-build VPU work of those steps —
+    the planes stream HBM->VMEM by DMA instead."""
+    pbc = int(os.environ.get("CUFHE_PREBAND", "0") or 0)
+    if pbc <= 0:
+        return 0
+    _, _, L, _, _, _, NG = band_grouping(lp, nlimbs, depth)
+    return min(pbc, L * NG)
+
+
+def prepare_prebands(wext, params: GateParams, nlimbs: int = BK_NLIMBS,
+                     depth: int = 0, count: int = 1):
+    """Assemble the first `count` dot steps' band-window planes on device.
+
+    The kernel's build() turns pre-rotated wext columns into the stacked
+    Toeplitz band operator a_ref[oo*leaf_n + y, (R*I + q)*128 + jj] =
+    gen_{p0+oo*I+q}[(leaf_n - 128*R + y - jj) mod W_g] with VPU rolls and
+    concats each iteration; this computes the identical planes once from
+    the resident wext with one XLA gather per step (device-side — the
+    planes are ~128/BK_COPIES x the wext size, far too big to ship
+    through the host).
+
+    Returns a tuple of `count` [n0, GOL*leaf_n, I*leaf_n] int8 device
+    arrays (one per dot step, in kernel step order).
+    """
+    lp = params.lvl1
+    nd, I, L, leaf_n, OL, GOL, NG = band_grouping(lp, nlimbs, depth)
+    steps = [(v, g) for v in range(L) for g in range(NG)]
+    count = min(count, len(steps))
+    R_L = leaf_n // 128
+    W_g = 2 * leaf_n
+    C = BK_COPIES
+    n0 = wext.shape[0]
+    R = np.arange(R_L)[:, None, None]
+    y = np.arange(leaf_n)[None, :, None]
+    jj = np.arange(128)[None, None, :]
+    idx = jnp.asarray(((leaf_n - 128 * R + y - jj) % W_g)
+                      .astype(np.int32).reshape(-1))
+
+    @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=())
+    def expand(w, p0):
+        gens = jax.lax.slice(w, (0, 0, C * p0),
+                             (n0, W_g, C * (p0 + GOL * I)),
+                             (1, 1, C))                  # [n0, W_g, GOL*I]
+        out = jnp.take(gens, idx, axis=1)     # [n0, R_L*leaf_n*128, GOL*I]
+        out = out.reshape(n0, R_L, leaf_n, 128, GOL, I)
+        return (out.transpose(0, 4, 2, 1, 5, 3)
+                   .reshape(n0, GOL * leaf_n, R_L * I * 128))
+
+    return tuple(expand(wext, (v * OL + g * GOL) * I)
+                 for v, g in steps[:count])
+
+
 def kar_depth(lp: TrlweParams, nlimbs: int = BK_NLIMBS) -> int:
     """Block-Karatsuba depth for a parameter set.
 
@@ -228,7 +311,8 @@ def _stagger_seq(S: int):
 
 
 def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
-                 depth: int = 0, b_tile: int = 256, want_stagger=None):
+                 depth: int = 0, b_tile: int = 256, want_stagger=None,
+                 preband: int = 0):
     _skip = os.environ.get("CUFHE_PALLAS_SKIP", "")  # debug: 'mxu'|'rot'|'shear'
     lp = params.lvl1
     N, nbit, k, l, Bgbit = lp.n, lp.nbit, lp.k, lp.l, lp.Bgbit
@@ -238,12 +322,10 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
     # scaling of sub-digit dl lives in its pre-scaled key generator
     # (prepare_wext), so the MXU contraction and limb recombination are
     # unchanged — dec rows just multiply by nd.
-    nd, dbits = decomp_digit_limb_plan(Bgbit)
+    nd, I, L, leaf_n, OL, GOL, NG = band_grouping(lp, nlimbs, depth)
+    dbits = decomp_digit_limb_plan(Bgbit)[1]
     assert nd == 1 or depth == 0, "digit limbs compose only with depth 0"
-    I = (k + 1) * l * nd
     C = BK_COPIES
-    L = 3 ** depth                     # Karatsuba leaves
-    leaf_n = N >> depth
     R_L = leaf_n // 128
     W_g = 2 * leaf_n                   # leaf band width
     assert (1 << (min(Bgbit, dbits) - 1)) << depth <= 128, \
@@ -252,20 +334,9 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
     G = (k + 1) * nlimbs * L * I       # distinct leaf generators / iteration
     paths = _leaf_paths(depth)
     quarters = [_leaf_quarters(p, depth) for p in paths]
-    OL = (k + 1) * nlimbs              # stacked (component, limb) operators
-    # Group size: how many (component, limb) operators stack into one MXU
-    # dot; capped so one a_ref buffer stays ~<=8 MB (leaves the 128-bit
-    # depth-2 config at full stacking while keeping depth-1 N=1024 sets
-    # like CGGI19 inside the 110 MB VMEM budget).
-    per_ol = leaf_n * I * leaf_n
-    GOL = 1
-    for g in range(1, OL + 1):
-        if OL % g == 0 and g * per_ol <= (8 << 20):
-            GOL = g
-    env_gol = os.environ.get("CUFHE_GOL", "")   # perf A/B only
-    if env_gol and OL % int(env_gol) == 0:
-        GOL = int(env_gol)
-    NG = OL // GOL
+    #: PB: the first PB dot steps read DMA'd precomputed band planes
+    #: (prepare_prebands) instead of in-kernel sheared bands.
+    PB = preband
     # 3 rotating window buffers: build(si+1) must not wait on the still-
     # in-flight dot(si-1) that read the third buffer
     NBUF = 3
@@ -301,8 +372,11 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
     # CUFHE_SKIP_STAGGER=1 keeps the staggered schedule during skip
     # profiling so its section exposure can be measured directly.
     skip_ok = not _skip or os.environ.get("CUFHE_SKIP_STAGGER") == "1"
+    # Precomputed band planes are wired into the plain schedule only: the
+    # staggered layout's band slots are exactly the work prebands remove,
+    # and the two optimizations' VMEM budgets do not compose.
     stagger = (seq is not None and picked is not None and skip_ok
-               and b_tile % 256 == 0 and want_stagger)
+               and b_tile % 256 == 0 and want_stagger and PB == 0)
     NBUF, O_ST = picked if stagger else (3, 0)
     # Placement-queue depth (perf A/B): how many issued-but-unplaced dot
     # results ride between the MXU and the VPU placement adds. Correctness
@@ -311,14 +385,23 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
     # tiles in VMEM.
     PEND = max(1, int(os.environ.get("CUFHE_PEND", "2")))
 
-    def kernel(abar_ref, acc_in_ref, wext_hbm, out_ref,
-               dec_ref, a_ref, wbuf_ref, sem_ref, *upd_scratch):
+    def kernel(abar_ref, acc_in_ref, wext_hbm, pbs, out_ref,
+               dec_ref, a_ref, wbuf_ref, sem_ref, pre_ref, psem_ref,
+               upd_ref):
         Bt = out_ref.shape[1]
-        upd_ref = upd_scratch[0] if upd_scratch else None
 
         def dma(i, slot):
             return pltpu.make_async_copy(
                 wext_hbm.at[i], wbuf_ref.at[slot], sem_ref.at[slot])
+
+        def dma_pre(i, parity, si):
+            """Band plane of dot step si, iteration i: HBM -> VMEM slot
+            (parity, si). Double-buffered across iterations so a plane is
+            never overwritten while the previous iteration's dot may still
+            be reading it."""
+            return pltpu.make_async_copy(
+                pbs[si].at[i], pre_ref.at[parity, si],
+                psem_ref.at[parity, si])
 
         subl = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
 
@@ -423,27 +506,39 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
                           R * (I * 128):(R + 1) * (I * 128)] = \
                         pltpu.bitcast(win, jnp.int8)
 
-        def dot(v, g, buf, lo, W):
+        def dot(v, g, buf, lo, W, operand=None):
             if _skip == "mxu":
                 return jnp.zeros((GOL * leaf_n, W), jnp.int32)
             return jax.lax.dot_general(
-                a_ref[buf],
+                a_ref[buf] if operand is None else operand,
                 dec_ref[v * (I * leaf_n):(v + 1) * (I * leaf_n), lo:lo + W],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
 
-        def plain_body(i, carry):
-            """One blind-rotation iteration, full batch tile at once."""
-            slot = jax.lax.rem(i, 2)
+        def plain_body(i, carry, par=None, mask=None):
+            """One blind-rotation iteration, full batch tile at once.
+
+            par: static wbuf/preband parity when the loop is unrolled by 2
+            (PB > 0) — preband dots index pre_ref[par, si] statically.
+            mask: traced validity bool for the overshoot body of an odd-n0
+            unrolled loop (digits zeroed -> exact-zero contribution)."""
+            slot = jax.lax.rem(i, 2) if par is None else par
 
             @pl.when(i + 1 < n0)
             def _():
-                dma(i + 1, 1 - slot).start()
+                if PB < S:
+                    dma(i + 1, 1 - slot).start()
+                for si in range(PB):
+                    dma_pre(i + 1, 1 - par, si).start()
 
-            dma(i, slot).wait()
-            rotdec(i, 0, Bt)
+            if PB < S:
+                @pl.when(i < n0)
+                def _():
+                    dma(i, slot).wait()
+            rotdec(i, 0, Bt, mask=mask)
 
-            build(0, 0, 0, slot)
+            if PB == 0:
+                build(0, 0, 0, slot)
             # per-(component, output-chunk) u32 accumulators (limb shifts
             # folded in as results arrive — smaller live state than per-
             # (component, limb) int32 chunks)
@@ -465,8 +560,14 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
             # placement adds; band building likewise runs in the shadow.
             pending = None
             for si, (v, g) in enumerate(steps):
-                p32 = dot(v, g, si % NBUF, 0, Bt)
-                if si + 1 < len(steps):
+                if si < PB:
+                    @pl.when(i < n0)
+                    def _(si=si):
+                        dma_pre(i, par, si).wait()
+                    p32 = dot(v, g, 0, 0, Bt, operand=pre_ref[par, si])
+                else:
+                    p32 = dot(v, g, si % NBUF, 0, Bt)
+                if PB <= si + 1 < len(steps):
                     build(*steps[si + 1], (si + 1) % NBUF, slot)
                 if pending is not None:
                     place(*pending)
@@ -573,7 +674,16 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
                 place_ref(*pend.pop(0))
 
         if not stagger:
-            jax.lax.fori_loop(0, n0, plain_body, 0)
+            if PB:
+                # unroll by 2: preband dots index pre_ref[par, si] with a
+                # static parity; the overshoot body of an odd n0 is masked
+                def body2(m, c):
+                    plain_body(2 * m, c, par=0, mask=2 * m < n0)
+                    plain_body(2 * m + 1, c, par=1, mask=2 * m + 1 < n0)
+                    return c
+                jax.lax.fori_loop(0, (n0 + 1) // 2, body2, 0)
+            else:
+                jax.lax.fori_loop(0, n0, plain_body, 0)
         else:
             H = Bt // 2
             dma(0, 0).start()
@@ -593,21 +703,33 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
 
     KP1N_ = (k + 1) * N
 
-    def kernel_entry(abar_ref, acc_in_ref, wext_hbm, out_ref,
-                     dec_ref, a_ref, wbuf_ref, sem_ref, *upd_scratch):
+    def kernel_entry(*refs):
+        # operand order: 3 inputs, PB preband inputs, output, then scratch
+        # (dec, bands, key buffer, key sem, then preband or stagger extras)
+        abar_ref, acc_in_ref, wext_hbm = refs[:3]
+        pbs = refs[3:3 + PB]
+        out_ref = refs[3 + PB]
+        dec_ref, a_ref, wbuf_ref, sem_ref = refs[4 + PB:8 + PB]
+        rest = refs[8 + PB:]
+        pre_ref, psem_ref = (rest[0], rest[1]) if PB else (None, None)
+        upd_ref = rest[0] if stagger else None
         if not stagger:
             # prologue for the plain schedule
-            def dma0():
-                return pltpu.make_async_copy(
-                    wext_hbm.at[0], wbuf_ref.at[0], sem_ref.at[0])
-            dma0().start()
+            if PB < S:
+                pltpu.make_async_copy(
+                    wext_hbm.at[0], wbuf_ref.at[0], sem_ref.at[0]).start()
+            for si in range(PB):
+                pltpu.make_async_copy(
+                    pbs[si].at[0], pre_ref.at[0, si],
+                    psem_ref.at[0, si]).start()
             out_ref[:, :] = acc_in_ref[:, :]
-        kernel(abar_ref, acc_in_ref, wext_hbm, out_ref,
-               dec_ref, a_ref, wbuf_ref, sem_ref, *upd_scratch)
+        kernel(abar_ref, acc_in_ref, wext_hbm, pbs, out_ref,
+               dec_ref, a_ref, wbuf_ref, sem_ref, pre_ref, psem_ref,
+               upd_ref)
 
     return kernel_entry, dict(N=N, n0=n0, k=k, I=I, G=G, W_g=W_g, L=L,
                               leaf_n=leaf_n, GOL=GOL, NBUF=NBUF, O=O_ST,
-                              stagger=stagger)
+                              stagger=stagger, PB=PB, S=S)
 
 
 @functools.partial(jax.jit,
@@ -618,7 +740,8 @@ def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
                         b_tile: int = 256,
                         nlimbs: int = BK_NLIMBS,
                         depth: int = 0,
-                        stagger: bool = None) -> jnp.ndarray:
+                        stagger: bool = None,
+                        prebands: tuple = ()) -> jnp.ndarray:
     """Run the fused blind rotation.
 
     acc_init: [B, k+1, N] uint32 — rotated test vector (batched_test_vector).
@@ -626,6 +749,9 @@ def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
               (iteration-major; rows >= n0 ignored).
     wext:     [n0, W_g, C*G] int8 — pre-rotated leaf-generator limb bands
               (prepare_wext with the same nlimbs/depth).
+    prebands: optional tuple of [n0, GOL*leaf_n, I*leaf_n] int8 planes
+              (prepare_prebands): the first len(prebands) dot steps DMA
+              these instead of shearing bands in VMEM.
     Returns [B, k+1, N] uint32.
     """
     lp = params.lvl1
@@ -636,11 +762,16 @@ def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
     B = acc_init.shape[0]
     bt = min(b_tile, B)
     assert B % bt == 0, (B, bt)
+    PB = len(prebands)
     kernel, dims = _make_kernel(params, nlimbs, depth, b_tile=bt,
-                                want_stagger=stagger)
+                                want_stagger=stagger, preband=PB)
     N, k, n0 = dims["N"], dims["k"], dims["n0"]
     I, L, leaf_n, W_g = dims["I"], dims["L"], dims["leaf_n"], dims["W_g"]
     assert wext.shape[1] == W_g, (wext.shape, W_g, "wext/depth mismatch")
+    assert PB <= dims["S"], (PB, dims["S"])
+    for pb in prebands:
+        assert pb.shape == (n0, dims["GOL"] * leaf_n, I * leaf_n), \
+            (pb.shape, "preband/kernel shape mismatch")
     KP1N = (k + 1) * N
 
     acc_t = acc_init.reshape(B, KP1N).T               # [(k+1)N, B]
@@ -659,6 +790,11 @@ def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
         # persists across fori bodies so each half's placements can span
         # the staggered sub-iteration boundary
         scratch.append(pltpu.VMEM((KP1N, bt), jnp.uint32))
+    if PB:
+        # double-buffered precomputed band planes + per-plane DMA sems
+        scratch.append(pltpu.VMEM((2, PB, dims["GOL"] * leaf_n,
+                                   I * leaf_n), jnp.int8))
+        scratch.append(pltpu.SemaphoreType.DMA((2, PB)))
     out_t = pl.pallas_call(
         kernel,
         grid=grid,
@@ -668,7 +804,7 @@ def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
             pl.BlockSpec((KP1N, bt), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * PB,
         out_specs=pl.BlockSpec((KP1N, bt), lambda b: (0, b),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((KP1N, B), jnp.uint32),
@@ -676,10 +812,11 @@ def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             # the staggered schedule needs 6 band buffers + the update
             # accumulator; 117M measured at the 128-bit set (hard cap 128M)
-            vmem_limit_bytes=(120 if dims["stagger"] else 110) * 1024 * 1024,
+            vmem_limit_bytes=(120 if dims["stagger"] or PB
+                              else 110) * 1024 * 1024,
         ),
         interpret=interp,
-    )(abar, acc_t, wext)
+    )(abar, acc_t, wext, *prebands)
     return out_t.T.reshape(B, k + 1, N)
 
 

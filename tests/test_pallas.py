@@ -307,3 +307,56 @@ def test_pallas_karatsuba_bitexact(depth, rng, monkeypatch):
     assert np.array_equal(got, want)
     assert [G.decrypt_bit(g, sk) for g in got] == \
         [1 - (a & b) for a, b in zip(bits0, bits1)]
+
+
+@pytest.mark.parametrize("count", [3, 9])
+def test_pallas_preband_bitexact(rng, count):
+    """Precomputed band planes (CUFHE_PREBAND): the first `count` dot steps
+    DMA their stacked band-window operator from HBM instead of shearing it
+    in VMEM — an exact data-path swap, so results stay bit-identical to
+    the golden model for both a partial (3 of 9) and a full (9 = no
+    in-kernel builds at all) precompute."""
+    import dataclasses
+
+    from cufhe_tpu.ops import pallas_br as PBR
+    sk = G.keygen(P.PALLAS_KAR, seed=50)
+    ek = G.make_eval_key(sk, seed=51)
+    p = sk.params
+    keys = K.prepare_keys(ek, backends=("pallas",))
+    pre = PBR.prepare_prebands(keys.bk_wext, p, nlimbs=4, depth=2,
+                               count=count)
+    assert len(pre) == count
+    # prebands force the plain schedule (the stagger band slots are the
+    # work they remove)
+    dims = PBR._make_kernel(p, 4, 2, b_tile=256, preband=count)[1]
+    assert dims["PB"] == count and not dims["stagger"]
+    keys2 = dataclasses.replace(keys, bk_prebands=pre)
+    bits0, bits1 = [0, 1, 0, 1], [0, 0, 1, 1]
+    c0 = [G.encrypt_bit(b, sk, rng) for b in bits0]
+    c1 = [G.encrypt_bit(b, sk, rng) for b in bits1]
+    want = np.stack([G.gate_lvl0("nand", a, b, ek) for a, b in zip(c0, c1)])
+    got = np.asarray(B.gate_lvl0(G.GATE_CONSTANTS["nand"],
+                                 jnp.asarray(np.stack(c0)),
+                                 jnp.asarray(np.stack(c1)), keys2, p,
+                                 backend="pallas"))
+    assert np.array_equal(got, want)
+
+
+def test_pallas_preband_env_path(pallas_key, rng, monkeypatch):
+    """CUFHE_PREBAND=N wires prepare_keys -> DeviceKeys.bk_prebands ->
+    the kernel (clamped to the dot-step count; depth-0 PALLAS_TINY has a
+    single dot step)."""
+    monkeypatch.setenv("CUFHE_PREBAND", "4")
+    sk, ek = pallas_key
+    p = sk.params
+    keys = K.prepare_keys(ek, backends=("pallas",))
+    assert len(keys.bk_prebands) == 1        # S = 1 at depth 0 clamps it
+    bits0, bits1 = [1, 0], [1, 1]
+    c0 = [G.encrypt_bit(b, sk, rng) for b in bits0]
+    c1 = [G.encrypt_bit(b, sk, rng) for b in bits1]
+    want = np.stack([G.gate_lvl0("nand", a, b, ek) for a, b in zip(c0, c1)])
+    got = np.asarray(B.gate_lvl0(G.GATE_CONSTANTS["nand"],
+                                 jnp.asarray(np.stack(c0)),
+                                 jnp.asarray(np.stack(c1)), keys, p,
+                                 backend="pallas"))
+    assert np.array_equal(got, want)
