@@ -1,10 +1,11 @@
-"""Standard-netlist generators (Bristol Fashion): AES-128.
+"""Standard-netlist generators (Bristol Fashion): AES-128 and SHA-256.
 
 The reference's raison d'être is circuit evaluation for the Virtual Secure
-Platform (reference README.md:2-7) but it ships no netlist tooling; here a
-full AES-128 encryption circuit is generated as Bristol Fashion text, loaded
-through the importer, scheduled by the native C++ core, and executed batched
-on TPU (benchmarks/aes.py).
+Platform (reference README.md:2-7) but it ships no netlist tooling; here
+the two canonical MPC/FHE benchmark circuits — a full AES-128 encryption
+block and a one-block SHA-256 digest — are generated as Bristol Fashion
+text, loaded through the importer, scheduled by the native C++ core, and
+executed batched on TPU (benchmarks/aes.py, benchmarks/sha256.py).
 
 The S-box is synthesized via the canonical tower-field decomposition
 GF(2^8) -> GF((2^4)^2) (the construction behind compact hardware S-boxes):
@@ -428,3 +429,157 @@ def bits_of(data: bytes) -> List[int]:
 def bytes_of(bits: Sequence[int]) -> bytes:
     return bytes(sum(int(bits[8 * i + j]) << j for j in range(8))
                  for i in range(len(bits) // 8))
+
+
+# ---------------------------------------------------------------------------
+# SHA-256 (one padded block) netlist
+# ---------------------------------------------------------------------------
+#: FIPS 180-4 round constants / initial hash value.
+SHA256_K = (
+    0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5,
+    0x3956c25b, 0x59f111f1, 0x923f82a4, 0xab1c5ed5,
+    0xd807aa98, 0x12835b01, 0x243185be, 0x550c7dc3,
+    0x72be5d74, 0x80deb1fe, 0x9bdc06a7, 0xc19bf174,
+    0xe49b69c1, 0xefbe4786, 0x0fc19dc6, 0x240ca1cc,
+    0x2de92c6f, 0x4a7484aa, 0x5cb0a9dc, 0x76f988da,
+    0x983e5152, 0xa831c66d, 0xb00327c8, 0xbf597fc7,
+    0xc6e00bf3, 0xd5a79147, 0x06ca6351, 0x14292967,
+    0x27b70a85, 0x2e1b2138, 0x4d2c6dfc, 0x53380d13,
+    0x650a7354, 0x766a0abb, 0x81c2c92e, 0x92722c85,
+    0xa2bfe8a1, 0xa81a664b, 0xc24b8b70, 0xc76c51a3,
+    0xd192e819, 0xd6990624, 0xf40e3585, 0x106aa070,
+    0x19a4c116, 0x1e376c08, 0x2748774c, 0x34b0bcb5,
+    0x391c0cb3, 0x4ed8aa4a, 0x5b9cca4f, 0x682e6ff3,
+    0x748f82ee, 0x78a5636f, 0x84c87814, 0x8cc70208,
+    0x90befffa, 0xa4506ceb, 0xbef9a3f7, 0xc67178f2,
+)
+SHA256_IV = (0x6a09e667, 0xbb67ae85, 0x3c6ef372, 0xa54ff53a,
+             0x510e527f, 0x9b05688c, 0x1f83d9ab, 0x5be0cd19)
+
+
+def _add32(w: BristolWriter, a: Sequence[int],
+           b: Sequence[int]) -> List[int]:
+    """a + b mod 2^32, ripple carry over LSB-first words: 61 AND + 93 XOR
+    (the minimum-bootstrap adder — parallel-prefix forms trade ~5x more
+    AND bootstraps for depth, the wrong trade when every gate costs a
+    bootstrap and the executor batches whole levels)."""
+    s = [w.xor(a[0], b[0])]
+    c = w.and_(a[0], b[0])
+    for i in range(1, 32):
+        t = w.xor(a[i], b[i])
+        s.append(w.xor(t, c))
+        if i < 31:
+            c = w.xor(w.and_(a[i], b[i]), w.and_(c, t))
+    return s
+
+
+def _addc32(w: BristolWriter, a: Sequence[int], k: int) -> List[int]:
+    """a + (public constant k) mod 2^32: a half-adder chain specialized on
+    k's bits — XNOR/OR where k_i = 1, XOR/AND where k_i = 0, and nothing
+    at all while the carry is still known-zero (~60 gates vs 154 for the
+    generic adder; used for the 64 round-constant additions)."""
+    s: List[int] = []
+    c = None                                   # None = carry known zero
+    for i in range(32):
+        ki = (k >> i) & 1
+        last = i == 31
+        if c is None:
+            if ki:
+                s.append(w.inv(a[i]))
+                c = None if last else a[i]
+            else:
+                s.append(a[i])                 # pass-through, no gate
+        elif ki:
+            s.append(w.gate("XNOR", a[i], c))
+            if not last:
+                c = w.gate("OR", a[i], c)
+        else:
+            s.append(w.xor(a[i], c))
+            if not last:
+                c = w.and_(a[i], c)
+    return s
+
+
+def _rotr(x: Sequence[int], n: int) -> List[int]:
+    """Rotate right by n: pure rewiring, zero gates (result bit i is input
+    bit (i+n) mod 32 in LSB-first order)."""
+    return [x[(i + n) % 32] for i in range(32)]
+
+
+def _bsig(w: BristolWriter, x: Sequence[int], r1: int, r2: int,
+          r3: int) -> List[int]:
+    """Big sigma: rotr(r1) ^ rotr(r2) ^ rotr(r3)."""
+    a, b, c = _rotr(x, r1), _rotr(x, r2), _rotr(x, r3)
+    return [w.xor_many([a[i], b[i], c[i]]) for i in range(32)]
+
+
+def _ssig(w: BristolWriter, x: Sequence[int], r1: int, r2: int,
+          sh: int) -> List[int]:
+    """Small sigma: rotr(r1) ^ rotr(r2) ^ shr(sh). The shift's vacated top
+    bits contribute nothing, so those positions XOR only two terms."""
+    a, b = _rotr(x, r1), _rotr(x, r2)
+    return [w.xor_many([a[i], b[i]] + ([x[i + sh]] if i + sh < 32 else []))
+            for i in range(32)]
+
+
+def _ch(w: BristolWriter, e, f, g) -> List[int]:
+    """Ch(e,f,g) = g ^ (e & (f ^ g)) — one AND per bit."""
+    return [w.xor(g[i], w.and_(e[i], w.xor(f[i], g[i]))) for i in range(32)]
+
+
+def _maj(w: BristolWriter, a, b, c) -> List[int]:
+    """Maj(a,b,c) = a ^ ((a^b) & (a^c)) — one AND per bit."""
+    return [w.xor(a[i], w.and_(w.xor(a[i], b[i]), w.xor(a[i], c[i])))
+            for i in range(32)]
+
+
+def sha256_block_bristol() -> str:
+    """Generate a one-block SHA-256 netlist (Bristol Fashion).
+
+    Input: one 512-bit padded message block (bytes in message order,
+    LSB-first per byte — the bits_of convention); output: the 256-bit
+    digest, byte order matching hashlib.sha256().digest(). The initial
+    hash value is fixed to the FIPS IV (single-block messages, i.e. up to
+    55 message bytes after sha256_pad), message-schedule expansion and all
+    64 rounds per FIPS 180-4.
+    """
+    w = BristolWriter()
+    inp = w.inputs(512)
+    c0, c1 = w.gate("EQ", 0), w.gate("EQ", 1)
+
+    def word_in(t):
+        # SHA words are big-endian: word t byte j is message byte 4t+j
+        return [inp[8 * (4 * t + 3 - i // 8) + i % 8] for i in range(32)]
+
+    def cword(v):
+        return [c1 if (v >> i) & 1 else c0 for i in range(32)]
+
+    W = [word_in(t) for t in range(16)]
+    for t in range(16, 64):
+        s0 = _ssig(w, W[t - 15], 7, 18, 3)
+        s1 = _ssig(w, W[t - 2], 17, 19, 10)
+        W.append(_add32(w, _add32(w, s1, W[t - 7]),
+                        _add32(w, s0, W[t - 16])))
+
+    a, b, c, d, e, f, g, h = (cword(v) for v in SHA256_IV)
+    for t in range(64):
+        T1 = _add32(w, _addc32(w, _add32(w, h, _ch(w, e, f, g)),
+                               SHA256_K[t]),
+                    _add32(w, _bsig(w, e, 6, 11, 25), W[t]))
+        T2 = _add32(w, _bsig(w, a, 2, 13, 22), _maj(w, a, b, c))
+        h, g, f, e = g, f, e, _add32(w, d, T1)
+        d, c, b, a = c, b, a, _add32(w, T1, T2)
+
+    out_bits: List[int] = []
+    for iv, x in zip(SHA256_IV, (a, b, c, d, e, f, g, h)):
+        word = _addc32(w, x, iv)               # H_i = IV_i + working var
+        for byte_i in range(4):                # big-endian digest bytes
+            out_bits.extend(word[8 * (3 - byte_i) + bit] for bit in range(8))
+    return w.finalize(out_bits)
+
+
+def sha256_pad(msg: bytes) -> bytes:
+    """FIPS 180-4 padding for messages that fit one block (<= 55 bytes)."""
+    assert len(msg) <= 55, "one-block circuit: message must be <= 55 bytes"
+    return (msg + b"\x80" + b"\x00" * (55 - len(msg))
+            + (8 * len(msg)).to_bytes(8, "big"))
