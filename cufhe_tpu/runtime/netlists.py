@@ -533,6 +533,52 @@ def _maj(w: BristolWriter, a, b, c) -> List[int]:
             for i in range(32)]
 
 
+def _sha256_rounds(w: BristolWriter, inp: Sequence[int],
+                   hwords) -> List[int]:
+    """Message schedule + 64 rounds + feed-forward on 512 block-input
+    wires. hwords: 8 chaining words ([32]-wire lists for the compression
+    form, plain ints for the fixed-IV form — constant ints let round 0's
+    adds and the feed-forward specialize to ~40%-size constant adders).
+    Returns the 256 output-H wires (big-endian digest byte order)."""
+    def word_in(t):
+        # SHA words are big-endian: word t byte j is block byte 4t+j
+        return [inp[8 * (4 * t + 3 - i // 8) + i % 8] for i in range(32)]
+
+    W = [word_in(t) for t in range(16)]
+    for t in range(16, 64):
+        s0 = _ssig(w, W[t - 15], 7, 18, 3)
+        s1 = _ssig(w, W[t - 2], 17, 19, 10)
+        W.append(_add32(w, _add32(w, s1, W[t - 7]),
+                        _add32(w, s0, W[t - 16])))
+
+    c0 = c1 = None
+
+    def as_wires(v):
+        nonlocal c0, c1
+        if not isinstance(v, int):
+            return v
+        if c0 is None:
+            c0, c1 = w.gate("EQ", 0), w.gate("EQ", 1)
+        return [c1 if (v >> i) & 1 else c0 for i in range(32)]
+
+    a, b, c, d, e, f, g, h = (as_wires(v) for v in hwords)
+    for t in range(64):
+        T1 = _add32(w, _addc32(w, _add32(w, h, _ch(w, e, f, g)),
+                               SHA256_K[t]),
+                    _add32(w, _bsig(w, e, 6, 11, 25), W[t]))
+        T2 = _add32(w, _bsig(w, a, 2, 13, 22), _maj(w, a, b, c))
+        h, g, f, e = g, f, e, _add32(w, d, T1)
+        d, c, b, a = c, b, a, _add32(w, T1, T2)
+
+    out_bits: List[int] = []
+    for h_in, x in zip(hwords, (a, b, c, d, e, f, g, h)):
+        word = (_addc32(w, x, h_in) if isinstance(h_in, int)
+                else _add32(w, x, h_in))       # H'_i = H_i + working var
+        for byte_i in range(4):                # big-endian digest bytes
+            out_bits.extend(word[8 * (3 - byte_i) + bit] for bit in range(8))
+    return out_bits
+
+
 def sha256_block_bristol() -> str:
     """Generate a one-block SHA-256 netlist (Bristol Fashion).
 
@@ -545,37 +591,30 @@ def sha256_block_bristol() -> str:
     """
     w = BristolWriter()
     inp = w.inputs(512)
-    c0, c1 = w.gate("EQ", 0), w.gate("EQ", 1)
+    return w.finalize(_sha256_rounds(w, inp, SHA256_IV))
 
-    def word_in(t):
-        # SHA words are big-endian: word t byte j is message byte 4t+j
-        return [inp[8 * (4 * t + 3 - i // 8) + i % 8] for i in range(32)]
 
-    def cword(v):
-        return [c1 if (v >> i) & 1 else c0 for i in range(32)]
+def sha256_compress_bristol() -> str:
+    """Generate the chainable SHA-256 compression function: inputs are a
+    512-bit message block then the 256-bit incoming hash state (digest
+    byte order); output is the 256-bit updated state. Arbitrary-length
+    messages = sha256_pad_blocks + one execution per block, feeding each
+    output state into the next block's state input (the first block's
+    state input is the IV, sha256_iv_bits)."""
+    w = BristolWriter()
+    inp = w.inputs(512)
+    hin = w.inputs(256)
+    # state wires arrive in digest byte order: word i byte j at bit
+    # offset 8*(4*i+j), big-endian within the word
+    hwords = [[hin[32 * i + 8 * (3 - b // 8) + b % 8] for b in range(32)]
+              for i in range(8)]
+    return w.finalize(_sha256_rounds(w, inp, hwords))
 
-    W = [word_in(t) for t in range(16)]
-    for t in range(16, 64):
-        s0 = _ssig(w, W[t - 15], 7, 18, 3)
-        s1 = _ssig(w, W[t - 2], 17, 19, 10)
-        W.append(_add32(w, _add32(w, s1, W[t - 7]),
-                        _add32(w, s0, W[t - 16])))
 
-    a, b, c, d, e, f, g, h = (cword(v) for v in SHA256_IV)
-    for t in range(64):
-        T1 = _add32(w, _addc32(w, _add32(w, h, _ch(w, e, f, g)),
-                               SHA256_K[t]),
-                    _add32(w, _bsig(w, e, 6, 11, 25), W[t]))
-        T2 = _add32(w, _bsig(w, a, 2, 13, 22), _maj(w, a, b, c))
-        h, g, f, e = g, f, e, _add32(w, d, T1)
-        d, c, b, a = c, b, a, _add32(w, T1, T2)
-
-    out_bits: List[int] = []
-    for iv, x in zip(SHA256_IV, (a, b, c, d, e, f, g, h)):
-        word = _addc32(w, x, iv)               # H_i = IV_i + working var
-        for byte_i in range(4):                # big-endian digest bytes
-            out_bits.extend(word[8 * (3 - byte_i) + bit] for bit in range(8))
-    return w.finalize(out_bits)
+def sha256_iv_bits() -> List[int]:
+    """The FIPS initial hash value as 256 state-input bits (digest order),
+    for the first sha256_compress_bristol execution."""
+    return bits_of(b"".join(v.to_bytes(4, "big") for v in SHA256_IV))
 
 
 def sha256_pad(msg: bytes) -> bytes:
@@ -583,3 +622,12 @@ def sha256_pad(msg: bytes) -> bytes:
     assert len(msg) <= 55, "one-block circuit: message must be <= 55 bytes"
     return (msg + b"\x80" + b"\x00" * (55 - len(msg))
             + (8 * len(msg)).to_bytes(8, "big"))
+
+
+def sha256_pad_blocks(msg: bytes) -> List[bytes]:
+    """FIPS 180-4 padding for any message length: the 64-byte block
+    sequence to run through sha256_compress_bristol."""
+    padded = (msg + b"\x80"
+              + b"\x00" * ((55 - len(msg)) % 64)
+              + (8 * len(msg)).to_bytes(8, "big"))
+    return [padded[i:i + 64] for i in range(0, len(padded), 64)]

@@ -60,3 +60,24 @@ def test_sha256_slot_allocation_scales(sha_sched):
     n_slots = max(slots.values()) + 1
     assert n_slots < sha_sched.num_wires / 20, n_slots
     assert sha_sched.num_gates > 100_000
+
+
+def test_sha256_multiblock_chained():
+    """Arbitrary-length messages via the chainable compression circuit:
+    one execution per padded block, output state feeding the next block's
+    state input (covers the 55/56-byte padding boundary and a 4-block
+    message)."""
+    import hashlib
+    sched, _ = compile_bristol(NL.sha256_compress_bristol())
+    rng = np.random.default_rng(4)
+    msgs = [b"abc",
+            bytes(rng.integers(0, 256, 55, dtype=np.uint8)),
+            bytes(rng.integers(0, 256, 56, dtype=np.uint8)),
+            bytes(rng.integers(0, 256, 200, dtype=np.uint8))]
+    for m in msgs:
+        state = np.array(NL.sha256_iv_bits())[:, None]
+        for blk in NL.sha256_pad_blocks(m):
+            in_bits = np.concatenate(
+                [np.array(NL.bits_of(blk))[:, None], state])
+            state = np.stack(simulate_schedule(sched, list(in_bits)))
+        assert NL.bytes_of(state[:, 0]) == hashlib.sha256(m).digest(), len(m)
