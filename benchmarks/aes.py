@@ -20,36 +20,22 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-RESULTS = os.path.join(REPO, "benchmarks", "results.jsonl")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
     import jax
 
-    from cufhe_tpu import PRESETS, golden as G
+    from _keys import append_result, load_or_make_bench_keys
+    from cufhe_tpu import golden as G
     from cufhe_tpu.models.api import Context, decrypt_bits, encrypt_bits
     from cufhe_tpu.runtime import netlists as NL
     from cufhe_tpu.runtime.bristol import compile_bristol
     from cufhe_tpu.runtime.executor import run_schedule
-    from cufhe_tpu.utils import serialization as S
 
     batch = int(os.environ.get("AES_BATCH", "64"))
     pname = os.environ.get("AES_PARAMS", "tfhepp_128bit")
-    params = PRESETS[pname]
-
-    cache = os.path.join(REPO, ".bench_keys_128.npz"
-                         if pname == "tfhepp_128bit"
-                         else f".bench_keys_{pname}.npz")
-    sk_cache = cache.replace("keys", "sk")
-    if os.path.exists(cache) and os.path.exists(sk_cache):
-        ek = S.load_eval_key(cache)
-        sk = S.load_secret_key(sk_cache)
-    else:
-        print("generating keys...", file=sys.stderr)
-        sk = G.keygen(params, seed=0)
-        ek = G.make_eval_key(sk, seed=1)
-        S.save_eval_key(cache, ek)
-        S.save_secret_key(sk_cache, sk)
+    sk, ek = load_or_make_bench_keys(pname)
 
     print("generating + scheduling AES-128 netlist...", file=sys.stderr)
     sched, _ = compile_bristol(NL.aes128_bristol())
@@ -93,8 +79,7 @@ def main() -> None:
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(rec))
-    with open(RESULTS, "a") as f:
-        f.write(json.dumps(rec) + "\n")
+    append_result(rec)
     if errors:
         raise SystemExit(f"{errors} block errors")
 

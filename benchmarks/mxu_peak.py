@@ -78,12 +78,21 @@ def xla_cases(rng):
                                    preferred_element_type=jnp.int32)
 
     @jax.jit
+    def dot_i8_bfacc(a, b):
+        # int8 operands, cast inside the timed program: measures whether
+        # XLA fuses the upcast and runs the MXU at the bf16 rate
+        return jax.lax.dot_general(a.astype(jnp.bfloat16),
+                                   b.astype(jnp.bfloat16),
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    @jax.jit
     def dot_bf(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
     yield "xla-int8", dot_i8, (a8, b8), macs
-    yield "xla-int8-bf16acc", dot_bf, (abf, bbf), macs
+    yield "xla-int8-bf16acc", dot_i8_bfacc, (a8, b8), macs
     yield "xla-bf16", dot_bf, (abf, bbf), macs
 
 
@@ -106,7 +115,7 @@ def pallas_case(rng, variant, M=2048, K=1536, W=512, S=18, steps=32):
                     .astype(np.int8))
     X = jnp.asarray(rng.integers(-32, 32, (S, K, W), dtype=np.int64)
                     .astype(np.int8))
-    NBUF = 3
+    NBUF = min(3, S)
 
     def kernel(a_ref, x_ref, o_ref, upd_ref):
         def body(i, c):

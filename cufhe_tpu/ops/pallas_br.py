@@ -138,20 +138,22 @@ def prepare_prebands(wext, params: GateParams, nlimbs: int = BK_NLIMBS,
     R = np.arange(R_L)[:, None, None]
     y = np.arange(leaf_n)[None, :, None]
     jj = np.arange(128)[None, None, :]
+    # idx passed as a jit argument, not closed over: closures bake into
+    # the compiled HLO shipped per-compile through the tunnel (CLAUDE.md)
     idx = jnp.asarray(((leaf_n - 128 * R + y - jj) % W_g)
                       .astype(np.int32).reshape(-1))
 
-    @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=())
-    def expand(w, p0):
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def expand(w, ix, p0):
         gens = jax.lax.slice(w, (0, 0, C * p0),
                              (n0, W_g, C * (p0 + GOL * I)),
                              (1, 1, C))                  # [n0, W_g, GOL*I]
-        out = jnp.take(gens, idx, axis=1)     # [n0, R_L*leaf_n*128, GOL*I]
+        out = jnp.take(gens, ix, axis=1)      # [n0, R_L*leaf_n*128, GOL*I]
         out = out.reshape(n0, R_L, leaf_n, 128, GOL, I)
         return (out.transpose(0, 4, 2, 1, 5, 3)
                    .reshape(n0, GOL * leaf_n, R_L * I * 128))
 
-    return tuple(expand(wext, (v * OL + g * GOL) * I)
+    return tuple(expand(wext, idx, (v * OL + g * GOL) * I)
                  for v, g in steps[:count])
 
 
@@ -676,10 +678,14 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
         if not stagger:
             if PB:
                 # unroll by 2: preband dots index pre_ref[par, si] with a
-                # static parity; the overshoot body of an odd n0 is masked
+                # static parity. The even body's index 2m <= n0-1 always;
+                # the odd body only overshoots (and needs its digits
+                # masked to zero) when n0 is odd — mask=None otherwise so
+                # the hot loop carries no dead selects.
                 def body2(m, c):
-                    plain_body(2 * m, c, par=0, mask=2 * m < n0)
-                    plain_body(2 * m + 1, c, par=1, mask=2 * m + 1 < n0)
+                    plain_body(2 * m, c, par=0)
+                    plain_body(2 * m + 1, c, par=1,
+                               mask=(2 * m + 1 < n0) if n0 % 2 else None)
                     return c
                 jax.lax.fori_loop(0, (n0 + 1) // 2, body2, 0)
             else:

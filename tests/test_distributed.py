@@ -28,8 +28,7 @@ def _free_port():
     return port
 
 
-def test_two_process_distributed_nand():
-    coord = f"127.0.0.1:{_free_port()}"
+def _run_workers(coord):
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     procs = [subprocess.Popen(
         [sys.executable, WORKER, coord, "2", str(pid)],
@@ -43,8 +42,18 @@ def test_two_process_distributed_nand():
     except subprocess.TimeoutExpired:
         for pr in procs:
             pr.kill()
-        pytest.fail("distributed workers timed out:\n"
-                    + "\n".join(o or "" for o in outs))
+        return False, "timed out:\n" + "\n".join(o or "" for o in outs)
     for pid, (pr, out) in enumerate(zip(procs, outs)):
-        assert pr.returncode == 0, f"pid {pid} failed:\n{out[-2000:]}"
-        assert f"DIST_OK pid={pid}" in out, out[-2000:]
+        if pr.returncode != 0 or f"DIST_OK pid={pid}" not in out:
+            return False, f"pid {pid} failed:\n{out[-2000:]}"
+    return True, ""
+
+
+def test_two_process_distributed_nand():
+    # the free-port probe has an inherent close-then-rebind race (another
+    # process can claim the port before worker 0's coordinator binds it),
+    # so one retry with a fresh port de-flakes it
+    ok, msg = _run_workers(f"127.0.0.1:{_free_port()}")
+    if not ok:
+        ok, msg = _run_workers(f"127.0.0.1:{_free_port()}")
+    assert ok, msg

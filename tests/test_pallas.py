@@ -360,3 +360,30 @@ def test_pallas_preband_env_path(pallas_key, rng, monkeypatch):
                                  jnp.asarray(np.stack(c1)), keys, p,
                                  backend="pallas"))
     assert np.array_equal(got, want)
+
+
+def test_pallas_preband_odd_n0_bitexact(rng):
+    """The preband unroll-by-2 loop's overshoot body (odd lvl0 dimension:
+    masked digits, skipped DMA waits) must contribute exact zeros — no
+    shipped preset has odd n0, so this exercises the path on a crafted
+    7-coefficient set."""
+    import dataclasses
+
+    from cufhe_tpu.ops import pallas_br as PBR
+    p = dataclasses.replace(
+        P.PALLAS_KAR, name="pallas-kar-odd-n0-test",
+        lvl0=dataclasses.replace(P.PALLAS_KAR.lvl0, n=7))
+    sk = G.keygen(p, seed=60)
+    ek = G.make_eval_key(sk, seed=61)
+    keys = K.prepare_keys(ek, backends=("pallas",))
+    pre = PBR.prepare_prebands(keys.bk_wext, p, nlimbs=4, depth=2, count=4)
+    keys2 = dataclasses.replace(keys, bk_prebands=pre)
+    bits0, bits1 = [0, 1, 0, 1], [0, 0, 1, 1]
+    c0 = [G.encrypt_bit(b, sk, rng) for b in bits0]
+    c1 = [G.encrypt_bit(b, sk, rng) for b in bits1]
+    want = np.stack([G.gate_lvl0("nand", a, b, ek) for a, b in zip(c0, c1)])
+    got = np.asarray(B.gate_lvl0(G.GATE_CONSTANTS["nand"],
+                                 jnp.asarray(np.stack(c0)),
+                                 jnp.asarray(np.stack(c1)), keys2, p,
+                                 backend="pallas"))
+    assert np.array_equal(got, want)
