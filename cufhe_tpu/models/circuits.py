@@ -111,3 +111,33 @@ def popcount(ctx: Context, bits: Sequence[Ctxt]) -> List[Ctxt]:
         out.append(cur[0])
         w += 1
     return out
+
+
+def multiply(ctx: Context, a: Sequence[Ctxt], b: Sequence[Ctxt]
+             ) -> List[Ctxt]:
+    """Unsigned product of an n-bit and an m-bit word (LSB first): AND
+    partial products reduced column-by-column with a carry-save tree (the
+    popcount pattern), one final bit per column. Returns up to n+m bits;
+    structurally-zero top columns (possible for 1-bit operands) are
+    omitted."""
+    n, m = len(a), len(b)
+    cols: List[List[Ctxt]] = [[] for _ in range(n + m)]
+    for j in range(m):
+        for i in range(n):
+            cols[i + j].append(ctx.and_(a[i], b[j]))
+    out: List[Ctxt] = []
+    for w, cur in enumerate(cols):
+        def carry_to(c: Ctxt) -> None:
+            if w + 1 < len(cols):
+                cols[w + 1].append(c)
+        while len(cur) >= 3:
+            s, c = full_adder(ctx, cur.pop(), cur.pop(), cur.pop())
+            cur.append(s)
+            carry_to(c)
+        if len(cur) == 2:
+            s, c = half_adder(ctx, cur.pop(), cur.pop())
+            cur.append(s)
+            carry_to(c)
+        if cur:
+            out.append(cur[0])
+    return out

@@ -95,3 +95,19 @@ def test_subtract_compare_popcount_circuits(ctx, tiny_key, rng):
               for i, c in enumerate(cnt))
     want = np.array([bin(v).count("1") for v in a_vals])
     assert np.array_equal(got, want)
+
+
+def test_multiply_circuit(ctx, tiny_key, rng):
+    """models.circuits.multiply: carry-save n x m product vs integers."""
+    from cufhe_tpu.models import circuits as C
+    from cufhe_tpu.models.api import decrypt_bits, encrypt_bits
+    sk, _ = tiny_key
+    B = 4
+    a_vals = rng.integers(0, 8, B)        # 3-bit
+    b_vals = rng.integers(0, 4, B)        # 2-bit
+    a = [encrypt_bits((a_vals >> i) & 1, sk, rng) for i in range(3)]
+    b = [encrypt_bits((b_vals >> i) & 1, sk, rng) for i in range(2)]
+    prod = C.multiply(ctx, a, b)
+    got = sum(decrypt_bits(p, sk).astype(int) << i
+              for i, p in enumerate(prod))
+    assert np.array_equal(got, a_vals * b_vals)
