@@ -178,13 +178,15 @@ def pallas_case(rng, variant, M=2048, K=1536, W=512, S=18, steps=32):
             )(a, x)
 
     macs = float(M) * K * W * S * steps
-    return f"pallas-int8-{variant}", run, (A, X), macs
+    return f"pallas-int8-{variant}-w{W}", run, (A, X), macs
 
 
 def main():
     rng = np.random.default_rng(7)
     cases = list(xla_cases(rng)) + [pallas_case(rng, v)
                                     for v in ("pure", "place", "write")]
+    # the plain (unstaggered) schedule's dot shape: full 1024-lane tile
+    cases.append(pallas_case(rng, "pure", W=1024, S=9))
     for name, fn, args, macs in cases:
         try:
             t = timed(fn, *args)
