@@ -59,3 +59,22 @@ got2 = sum(decrypt_bits(s, sk).astype(int) << i for i, s in enumerate(outs))
 assert np.array_equal(got2, a_vals + b_vals)
 print(f"runtime scheduler netlist: {batch} additions OK "
       f"({sched.num_levels} levels)")
+
+# --- Way 2b: a real workload netlist (SHA-256), plaintext-simulated -------
+# The same importer/scheduler stack runs generated AES-128 and SHA-256;
+# encrypted runs are benchmarks/aes.py and benchmarks/sha256.py. Here the
+# scheduled SHA-256 circuit is executed on plaintext bits (the executor's
+# oracle mode) to show the netlist tooling end-to-end without the ~10 min
+# encrypted evaluation.
+import hashlib
+
+from cufhe_tpu.runtime import netlists as NL
+from cufhe_tpu.runtime.bristol import compile_bristol
+from cufhe_tpu.runtime.executor import simulate_schedule
+
+sha_sched, _ = compile_bristol(NL.sha256_block_bristol())
+msg = b"hello, homomorphic world"
+in_bits = [np.array([b]) for b in NL.bits_of(NL.sha256_pad(msg))]
+digest = NL.bytes_of(np.concatenate(simulate_schedule(sha_sched, in_bits)))
+assert digest == hashlib.sha256(msg).digest()
+print(f"sha256 netlist: {sha_sched.num_gates} gates, digest matches hashlib")
