@@ -20,24 +20,43 @@ import numpy as np
 def _wait_for_device() -> None:
     """Ride out transient TPU-link outages before committing this process
     to backend init (init can HANG, not just raise, while the forwarded
-    link is down — so probe in a killable subprocess first)."""
+    link is down — so probe in a killable subprocess first).
+
+    The TOTAL probe budget is hard-capped (default 180 s, env
+    BENCH_INIT_BUDGET_S) so an outage cannot consume the driver's capture
+    window; on exhaustion we emit a structured JSON error line on stdout
+    and exit 0 — a parseable artifact beats a bare rc=124."""
     import subprocess
-    tries = int(os.environ.get("BENCH_INIT_RETRIES", "6"))
-    for i in range(tries):
+    budget = float(os.environ.get("BENCH_INIT_BUDGET_S", "180"))
+    deadline = time.monotonic() + budget
+    probes = 0
+    while True:
+        remaining = deadline - time.monotonic()
+        if remaining <= 5:
+            break
+        probes += 1
         try:
             probe = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=180, capture_output=True)
+                timeout=min(90, remaining), capture_output=True)
             if probe.returncode == 0:
                 return
         except subprocess.TimeoutExpired:
             pass
-        if i < tries - 1:
-            print(f"device link down (probe {i + 1}/{tries}); "
-                  "retrying in 120 s", file=sys.stderr)
-            time.sleep(120)
-    print("device link still down after retries; proceeding anyway",
-          file=sys.stderr)
+        remaining = deadline - time.monotonic()
+        if remaining <= 15:
+            break
+        print(f"device link down (probe {probes}, {remaining:.0f} s of "
+              "budget left); retrying in 15 s", file=sys.stderr)
+        time.sleep(15)
+    print(json.dumps({
+        "metric": "nand_gate_bootstraps_per_sec_per_chip",
+        "error": "device_down",
+        "detail": f"TPU link unreachable after {probes} probes / "
+                  f"{budget:.0f} s budget",
+        "value": None, "unit": "gates/s", "vs_baseline": None,
+    }))
+    sys.exit(0)
 
 
 def main() -> None:
