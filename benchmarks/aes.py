@@ -31,7 +31,7 @@ def main() -> None:
     from cufhe_tpu.models.api import Context, decrypt_bits, encrypt_bits
     from cufhe_tpu.runtime import netlists as NL
     from cufhe_tpu.runtime.bristol import compile_bristol
-    from cufhe_tpu.runtime.executor import run_schedule
+    from cufhe_tpu.runtime.executor import precompile_schedule, run_schedule
 
     batch = int(os.environ.get("AES_BATCH", "64"))
     pname = os.environ.get("AES_PARAMS", "tfhepp_128bit")
@@ -51,6 +51,15 @@ def main() -> None:
     in_bits = np.array([NL.bits_of(p) + NL.bits_of(k)
                         for p, k in zip(pts, keys)]).T
     cts = [encrypt_bits(b, sk, rng) for b in in_bits]
+
+    # compile every step shape up front: in-run compiles through the TPU
+    # tunnel (~20-40 s each) were most of round-2's AES wall-clock. The
+    # reference's timings likewise exclude one-time setup (keys/cudaMalloc).
+    tc = time.perf_counter()
+    n_progs = precompile_schedule(ctx, sched, batch)
+    compile_s = time.perf_counter() - tc
+    print(f"precompiled {n_progs} programs in {compile_s:.0f}s",
+          file=sys.stderr)
 
     print(f"evaluating {sched.num_gates} gates x batch {batch} "
           f"({n_bootstrapped * batch} bootstraps)...", file=sys.stderr)
@@ -75,6 +84,7 @@ def main() -> None:
         "blocks_per_sec": round(batch / dt, 3),
         "sec_per_block": round(dt / batch, 3),
         "bootstraps_per_sec": round(n_bootstrapped * batch / dt, 1),
+        "compile_seconds": round(compile_s, 1),
         "block_errors": errors,
         "device": str(jax.devices()[0]),
     }

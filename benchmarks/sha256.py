@@ -31,7 +31,7 @@ def main() -> None:
     from cufhe_tpu.models.api import Context, encrypt_bits
     from cufhe_tpu.runtime import netlists as NL
     from cufhe_tpu.runtime.bristol import compile_bristol
-    from cufhe_tpu.runtime.executor import run_schedule
+    from cufhe_tpu.runtime.executor import precompile_schedule, run_schedule
 
     batch = int(os.environ.get("SHA_BATCH", "32"))
     pname = os.environ.get("SHA_PARAMS", "tfhepp_128bit")
@@ -48,6 +48,12 @@ def main() -> None:
             for n in rng.integers(0, 56, batch)]
     in_bits = np.array([NL.bits_of(NL.sha256_pad(m)) for m in msgs]).T
     cts = [encrypt_bits(b, sk, rng) for b in in_bits]
+
+    tc = time.perf_counter()
+    n_progs = precompile_schedule(ctx, sched, batch)
+    compile_s = time.perf_counter() - tc
+    print(f"precompiled {n_progs} programs in {compile_s:.0f}s",
+          file=sys.stderr)
 
     print(f"evaluating {sched.num_gates} gates x batch {batch} "
           f"({n_bootstrapped * batch} bootstraps)...", file=sys.stderr)
@@ -70,6 +76,7 @@ def main() -> None:
         "blocks_per_sec": round(batch / dt, 3),
         "sec_per_block": round(dt / batch, 3),
         "bootstraps_per_sec": round(n_bootstrapped * batch / dt, 1),
+        "compile_seconds": round(compile_s, 1),
         "digest_errors": errors,
         "device": str(jax.devices()[0]),
     }

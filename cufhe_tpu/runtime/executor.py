@@ -10,8 +10,10 @@ loop, test_intensive.cc:21-54, done statically by the native scheduler).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Union
+import os
+from typing import Dict, List, Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -87,14 +89,18 @@ def allocate_slots(sched: Schedule) -> Dict[int, int]:
     for w in sched.consts:
         alloc(w)
     for lvl, groups in enumerate(sched.levels, start=1):
-        # operands of this level whose last read is here release their
-        # slots to this level's outputs (reads precede writes per level)
-        for w in expire.get(lvl, ()):  # may include not-yet-dead outputs? no:
-            if w in slot:              # defined earlier => slot assigned
-                free.append(slot[w])
+        # A level's outputs may NOT reuse slots freed by that same level's
+        # operand reads: the executor applies each fused group program
+        # in-place (donated register file) as soon as it is built, so a
+        # later group in the level would read a slot an earlier group
+        # already overwrote. Slots freed at level L become available at
+        # L+1 (costs a few % more peak slots; measured 784 -> 1144 on AES).
         for _, quads in groups:
             for q in quads:
                 alloc(q[0])
+        for w in expire.get(lvl, ()):
+            if w in slot:              # defined earlier => slot assigned
+                free.append(slot[w])
     return slot
 
 
@@ -123,6 +129,236 @@ def simulate_schedule(sched: Schedule,
                 args = [vals[a] for a in q[1:] if a >= 0]
                 vals[q[0]] = fn(*args)
     return [vals[w] for w in sched.outputs]
+
+
+def _exec_chunk(batch: int) -> int:
+    """Max fused two-input gates per device call. Full chunks all share ONE
+    compiled shape; only each level's tail takes a bucket — this bounds the
+    number of distinct compiled programs for a whole netlist to a handful
+    (in-run compiles through the TPU tunnel are ~20-40 s EACH and were the
+    bulk of round-2's AES wall-clock). ~16k bootstraps per call amortizes
+    dispatch to <2% at measured kernel rates."""
+    env = os.environ.get("CUFHE_EXEC_CHUNK", "")
+    if env:
+        return int(env)
+    return min(1024, max(64, (16384 // batch) // 64 * 64))
+
+
+def _step_fns(ctx: Context, lvl: int):
+    """Cached donated-register-file level-step programs for (ctx, level).
+
+    Each step takes the whole register file [S, B, width], gathers its
+    operand rows, runs the fused gate program, and scatters outputs back —
+    ONE XLA program per shape with `donate_argnums=0`, so the scatter
+    aliases the register file in place instead of re-materializing it
+    (round-2 executor copied the full file per level group)."""
+    key = ("exec_steps", lvl)
+    if key in ctx._cache:
+        return ctx._cache[key]
+    from ..ops import bootstrap as B
+    p, bk = ctx.params, ctx.backend
+    gate_fn = B.gate_lvl0 if lvl == 0 else B.gate_lvl1
+    mux_fn = B.mux_lvl0 if lvl == 0 else B.mux_lvl1
+
+    def two_input(regs, ina, inb, outs, c3, keys):
+        S, bsz, width = regs.shape
+        gp = ina.shape[0]
+        ga = regs[ina].reshape(gp * bsz, width)
+        gb = regs[inb].reshape(gp * bsz, width)
+        c = jnp.repeat(c3, bsz, axis=0)
+        res = gate_fn(c, ga, gb, keys=keys, params=p, backend=bk)
+        return regs.at[outs].set(res.reshape(gp, bsz, width))
+
+    def mux(regs, ic, i1, i0, outs, neg, keys):
+        S, bsz, width = regs.shape
+        gp = ic.shape[0]
+        g = lambda x: regs[x].reshape(gp * bsz, width)
+        res = mux_fn(g(ic), g(i1), g(i0), keys, p,
+                     negate=bool(neg), backend=bk)
+        return regs.at[outs].set(res.reshape(gp, bsz, width))
+
+    def linear(regs, idx, outs, neg):
+        vals = regs[idx]
+        if neg:
+            vals = jnp.negative(vals)
+        return regs.at[outs].set(vals)
+
+    fns = {
+        "two": jax.jit(two_input, donate_argnums=0),
+        "mux": jax.jit(mux, donate_argnums=0, static_argnums=5),
+        "lin": jax.jit(linear, donate_argnums=0, static_argnums=3),
+    }
+    ctx._cache[key] = fns
+    return fns
+
+
+def _op_cols(opname: str) -> int:
+    return 4 if opname in ("mux", "nmux") else 2
+
+
+def _tail_ladder(tails: List[int], k: int) -> List[int]:
+    """Optimal K-size bucket ladder for a schedule's level tails, by DP:
+    choose <=k cut sizes (from the distinct tail sizes) such that rounding
+    every tail UP to the next cut minimizes total padded gates. Bounds the
+    number of distinct compiled tail shapes at k while beating any fixed
+    ladder (measured: AES 5.3% / SHA-256 11.4% waste at k=8, vs 17% / 115%
+    with plain multiples-of-64)."""
+    vals = sorted(set(tails))
+    m = len(vals)
+    if m <= k:
+        return vals
+    cnt = {v: 0 for v in vals}
+    for t in tails:
+        cnt[t] += 1
+    pref_n = [0]
+    pref_s = [0]
+    for v in vals:
+        pref_n.append(pref_n[-1] + cnt[v])
+        pref_s.append(pref_s[-1] + cnt[v] * v)
+
+    def cost(i: int, j: int) -> int:   # vals[i..j] rounded up to vals[j]
+        return ((pref_n[j + 1] - pref_n[i]) * vals[j]
+                - (pref_s[j + 1] - pref_s[i]))
+
+    INF = float("inf")
+    dp = [[INF] * (k + 1) for _ in range(m + 1)]
+    back = [[0] * (k + 1) for _ in range(m + 1)]
+    dp[0][0] = 0
+    for j in range(1, m + 1):
+        for kk in range(1, k + 1):
+            for i in range(j):
+                if dp[i][kk - 1] == INF:
+                    continue
+                c = dp[i][kk - 1] + cost(i, j - 1)
+                if c < dp[j][kk]:
+                    dp[j][kk] = c
+                    back[j][kk] = i
+    kk = min(range(1, k + 1), key=lambda x: dp[m][x])
+    cuts = []
+    j = m
+    while kk:
+        cuts.append(vals[j - 1])
+        j = back[j][kk]
+        kk -= 1
+    return sorted(cuts)
+
+
+def _plan_level(groups, slot: Dict[int, int], chunk: int, mu: int,
+                ladder: List[int]):
+    """Host-side chunk plan for one level: a list of
+    (kind, index-arrays..., payload) step descriptors. Fused two-input
+    chunks are `chunk`-sized; tails round up to the schedule's DP-optimal
+    `ladder`, padding with duplicates of quad 0 (same slot, same recomputed
+    value, so the duplicate scatter is benign)."""
+    from ..golden import GATE_CONSTANTS
+    from ..ops.bootstrap import encode_gate_consts_rows
+    two_input = {n for n in GATE_CONSTANTS
+                 if n not in ("not", "copy", "mux", "nmux")}
+    plan = []
+    fused_quads: List[tuple] = []
+    fused_names: List[str] = []
+    for opname, quads in groups:
+        if opname in two_input:
+            fused_quads.extend(quads)
+            fused_names.extend([opname] * len(quads))
+            continue
+        # pad not/copy/mux groups to power-of-two sizes (min 8) with
+        # duplicates of quad 0 — same slot, same value, benign — so a
+        # whole netlist's linear/mux groups share a handful of shapes
+        g = len(quads)
+        gp = max(8, 1 << (g - 1).bit_length())
+        quads = list(quads) + [quads[0]] * (gp - g)
+        cols = [np.asarray([slot[q[j]] for q in quads], dtype=np.int32)
+                for j in range(_op_cols(opname))]
+        if opname in ("not", "copy"):
+            plan.append(("lin", cols[1], cols[0], opname == "not"))
+        else:  # mux / nmux
+            plan.append(("mux", cols[1], cols[2], cols[3], cols[0],
+                         opname == "nmux"))
+    pos = 0
+    n = len(fused_quads)
+    while pos < n:
+        take = chunk if n - pos >= chunk else n - pos
+        # tails round up to the schedule's DP-optimal bucket ladder
+        gp = take if take == chunk else min(s for s in ladder if s >= take)
+        quads_p = fused_quads[pos:pos + take] + \
+            [fused_quads[pos]] * (gp - take)
+        names_p = fused_names[pos:pos + take] + \
+            [fused_names[pos]] * (gp - take)
+        ina = np.asarray([slot[q[1]] for q in quads_p], dtype=np.int32)
+        inb = np.asarray([slot[q[2]] for q in quads_p], dtype=np.int32)
+        outs = np.asarray([slot[q[0]] for q in quads_p], dtype=np.int32)
+        c3 = encode_gate_consts_rows(names_p, mu)
+        plan.append(("two", ina, inb, outs, c3))
+        pos += take
+    return plan
+
+
+def _plan_schedule(sched: Schedule, slot: Dict[int, int], chunk: int,
+                   mu: int) -> List[list]:
+    from ..golden import GATE_CONSTANTS
+    two_input = {n for n in GATE_CONSTANTS
+                 if n not in ("not", "copy", "mux", "nmux")}
+    tails = []
+    for groups in sched.levels:
+        g = sum(len(q) for op, q in groups if op in two_input) % chunk
+        if g:
+            tails.append(g)
+    k = int(os.environ.get("CUFHE_EXEC_SHAPES", "8"))
+    ladder = _tail_ladder(tails, k) if tails else [chunk]
+    return [_plan_level(groups, slot, chunk, mu, ladder)
+            for groups in sched.levels]
+
+
+def precompile_schedule(ctx: Context, sched: Schedule, batch: int,
+                        level: int = 0) -> int:
+    """Compile every distinct step shape `run_schedule` will need, on dummy
+    data, so the timed run hits only cached executables (each in-run compile
+    through the TPU tunnel costs ~20-40 s; an AES-scale netlist needs only
+    a handful of distinct shapes thanks to chunking). Returns the number of
+    programs compiled."""
+    if ctx.mesh is not None:
+        return 0
+    lvlp = ctx.params.lvl0 if level == 0 else ctx.params.lvl1
+    width = lvlp.dim + 1
+    mu = lvlp.mu
+    slot = allocate_slots(sched)
+    num_slots = max(slot.values()) + 1 if slot else 1
+    chunk = _exec_chunk(batch)
+    plans = _plan_schedule(sched, slot, chunk, mu)
+    seen = set()
+    sigs = []
+    for plan in plans:
+        for step in plan:
+            if step[0] == "two":
+                sig = ("two", step[1].shape[0])
+            elif step[0] == "mux":
+                sig = ("mux", step[1].shape[0], step[5])
+            else:
+                sig = ("lin", step[1].shape[0], step[3])
+            if sig not in seen:
+                seen.add(sig)
+                sigs.append(step)
+    fns = _step_fns(ctx, level)
+    regs = jnp.zeros((num_slots, batch, width), dtype=U32)
+    for step in sigs:
+        regs = _apply_step(fns, regs, step, ctx.keys)
+    np.asarray(jax.device_get(regs[0, 0, :1]))
+    return len(sigs)
+
+
+def _apply_step(fns, regs, step, keys):
+    kind = step[0]
+    if kind == "two":
+        _, ina, inb, outs, c3 = step
+        return fns["two"](regs, jnp.asarray(ina), jnp.asarray(inb),
+                          jnp.asarray(outs), jnp.asarray(c3), keys)
+    if kind == "mux":
+        _, ic, i1, i0, outs, neg = step
+        return fns["mux"](regs, jnp.asarray(ic), jnp.asarray(i1),
+                          jnp.asarray(i0), jnp.asarray(outs), neg, keys)
+    _, idx, outs, neg = step
+    return fns["lin"](regs, jnp.asarray(idx), jnp.asarray(outs), neg)
 
 
 def run_schedule(ctx: Context, sched: Schedule,
@@ -157,6 +393,18 @@ def run_schedule(ctx: Context, sched: Schedule,
     for wire, val in sched.consts.items():
         regs = regs.at[slot[wire]].set(
             trivial_ciphertext(val, width - 1, mu, B))
+
+    if ctx.mesh is None:
+        # fast path: donated-register-file step programs (gather + fused
+        # gate batch + scatter in ONE XLA call each, register file aliased
+        # in place), fixed-size chunks so a whole netlist compiles to a
+        # handful of distinct programs
+        fns = _step_fns(ctx, lvl)
+        plans = _plan_schedule(sched, slot, _exec_chunk(B), mu)
+        for plan in plans:
+            for step in plan:
+                regs = _apply_step(fns, regs, step, ctx.keys)
+        return [Ctxt(regs[slot[w]], lvl) for w in sched.outputs]
 
     from ..golden import GATE_CONSTANTS
     two_input = {n for n in GATE_CONSTANTS

@@ -238,3 +238,31 @@ def test_bristol_rejects_cyclic(tiny_key):
 """
     with pytest.raises(ValueError, match="topologically"):
         compile_bristol(text)
+
+
+def test_precompile_and_chunked_execution(tiny_key, rng, monkeypatch):
+    """Tiny CUFHE_EXEC_CHUNK forces multi-chunk levels + ladder tails; the
+    precompiled + chunked run must match the plaintext adder exactly, and
+    precompile_schedule must cover every shape (no new compiles at run
+    time is a perf property checked on hardware; here we check identity)."""
+    from cufhe_tpu.runtime import build_ripple_adder
+    from cufhe_tpu.runtime.executor import precompile_schedule
+
+    monkeypatch.setenv("CUFHE_EXEC_CHUNK", "2")
+    sk, ek = tiny_key
+    ctx = Context(ek)
+    nbits, B = 4, 3
+    cb, _ = build_ripple_adder(nbits)
+    s = cb.compile()
+    n_progs = precompile_schedule(ctx, s, B)
+    assert n_progs >= 1
+    a_vals = rng.integers(0, 1 << nbits, B)
+    b_vals = rng.integers(0, 1 << nbits, B)
+    enc = [encrypt_bits((a_vals >> i) & 1, sk, rng) for i in range(nbits)]
+    enc += [encrypt_bits((b_vals >> i) & 1, sk, rng) for i in range(nbits)]
+    enc.append(encrypt_bits(np.zeros(B, dtype=int), sk, rng))
+    outs = run_schedule(ctx, s, enc)
+    got = np.zeros(B, dtype=int)
+    for i, out in enumerate(outs):
+        got += decrypt_bits(out, sk).astype(int) << i
+    assert np.array_equal(got, a_vals + b_vals)
