@@ -84,10 +84,14 @@ def main() -> None:
                          f".bench_keys_{pname}.npz" if pname
                          else ".bench_keys_128.npz")
     sk_cache = cache.replace("keys", "sk")
+    ek = sk = None
     if os.path.exists(cache) and os.path.exists(sk_cache):
-        ek = S.load_eval_key(cache)
-        sk = S.load_secret_key(sk_cache)
-    else:
+        try:
+            ek = S.load_eval_key(cache)
+            sk = S.load_secret_key(sk_cache)
+        except ValueError as e:   # params-fingerprint mismatch: regenerate
+            print(f"stale key cache ({e}); regenerating", file=sys.stderr)
+    if ek is None:
         print("generating 128-bit keys (one-time)...", file=sys.stderr)
         sk = G.keygen(PRESETS[pname] if pname else TFHEPP_128, seed=0)
         ek = G.make_eval_key(sk, seed=1)

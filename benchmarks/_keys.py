@@ -21,7 +21,10 @@ def load_or_make_bench_keys(pname: str):
                          else f".bench_keys_{pname}.npz")
     sk_cache = cache.replace("keys", "sk")
     if os.path.exists(cache) and os.path.exists(sk_cache):
-        return S.load_secret_key(sk_cache), S.load_eval_key(cache)
+        try:
+            return S.load_secret_key(sk_cache), S.load_eval_key(cache)
+        except ValueError as e:   # params-fingerprint mismatch: regenerate
+            print(f"stale key cache ({e}); regenerating", file=sys.stderr)
     print("generating keys...", file=sys.stderr)
     sk = G.keygen(PRESETS[pname], seed=0)
     ek = G.make_eval_key(sk, seed=1)

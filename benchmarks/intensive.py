@@ -8,7 +8,15 @@ consumes the previous output), so this exercises JAX's async dispatch queue,
 program reuse across chained calls, and result stability under pressure —
 then decrypts everything and verifies against the plaintext recurrence.
 
+`--lanes N` splits the batch into N *independent* dependent chains issued
+round-robin on separate Streams: while lane 0's gate executes, lane 1's is
+already enqueued, so any throughput recovered vs lanes=1 is host dispatch /
+tunnel tax, and whatever remains is true device serialization — the
+profiling split VERDICT r2 asked for (reference latency-pipelines the same
+way across CUDA streams, test_intensive.cc:21-54).
+
 Usage: python benchmarks/intensive.py [--streams 512] [--chain 20]
+            [--lanes 1]
 """
 from __future__ import annotations
 
@@ -27,6 +35,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=512)
     ap.add_argument("--chain", type=int, default=20)
+    ap.add_argument("--lanes", type=int, default=1)
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--params", default="tfhepp_128bit")
     args = ap.parse_args()
@@ -61,35 +70,45 @@ def main():
     cts = encrypt_bits(bits, sk, rng)
     other = encrypt_bits(other_bits, sk, rng)
 
-    # warmup/compile both ops used in the alternating chain
-    _ = ctx.nand(cts, other)
-    _ = ctx.xor(cts, other)
+    lanes = args.lanes
+    assert B % lanes == 0, "--streams must divide by --lanes"
+    lb = B // lanes
+    from cufhe_tpu.models.api import Ctxt
+    lane_out = [Ctxt(cts.data[i * lb:(i + 1) * lb], 0) for i in range(lanes)]
+    lane_oth = [Ctxt(other.data[i * lb:(i + 1) * lb], 0)
+                for i in range(lanes)]
+
+    # warmup/compile both ops used in the alternating chain (lane shape)
+    _ = ctx.nand(lane_out[0], lane_oth[0])
+    _ = ctx.xor(lane_out[0], lane_oth[0])
     synchronize()
 
-    st = Stream()
+    sts = [Stream() for _ in range(lanes)]
     t0 = time.perf_counter()
-    out = cts
     polls = 0
     for d in range(chain):
-        # completion polling like the reference's scheduler loop
-        while not stream_query(st):
-            polls += 1
-        out = ctx.nand(out, other) if d % 2 == 0 else ctx.xor(out, other)
-        st.record(out)
-    synchronize(st)
+        for ln in range(lanes):
+            # completion polling like the reference's scheduler loop; with
+            # lanes > 1 the next lane's gate is enqueued while this one runs
+            while not stream_query(sts[ln]):
+                polls += 1
+            op = ctx.nand if d % 2 == 0 else ctx.xor
+            lane_out[ln] = op(lane_out[ln], lane_oth[ln])
+            sts[ln].record(lane_out[ln])
+    synchronize(*sts)
     dt = time.perf_counter() - t0
 
     want = bits.copy()
     for d in range(chain):
         want = (1 - (want & other_bits)) if d % 2 == 0 else want ^ other_bits
-    got = decrypt_bits(out, sk)
+    got = np.concatenate([decrypt_bits(o, sk) for o in lane_out])
     errors = int(np.sum(got != want))
 
     total_ops = B * chain
     print(json.dumps({
         "metric": "intensive_chained_gate_ops_per_sec",
         "value": round(total_ops / dt, 2),
-        "streams": B, "chain_depth": chain, "polls": polls,
+        "streams": B, "chain_depth": chain, "lanes": lanes, "polls": polls,
         "seconds": round(dt, 3), "errors": errors,
         "device": str(jax.devices()[0]),
     }))

@@ -61,7 +61,8 @@ def main():
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--params", default="tfhepp_128bit")
     ap.add_argument("--sections",
-                    default="gates,mux,linear,refresh,cmux,kernels,noise")
+                    default="golden,gates,mux,linear,refresh,cmux,kernels,"
+                            "noise")
     args = ap.parse_args()
     sections = set(args.sections.split(","))
 
@@ -111,6 +112,17 @@ def main():
     bits0 = rng.integers(0, 2, B)
     bits1 = rng.integers(0, 2, B)
     bits2 = rng.integers(0, 2, B)
+
+    if "golden" in sections:
+        # hardware bit-exactness as a TESTED property: uint32-for-uint32
+        # diff of device gates vs the golden model ON THIS DEVICE (Mosaic
+        # lowering is what interpret-mode CPU tests cannot exercise)
+        from golden_check import golden_diff
+        mism, total = golden_diff(ctx, sk, ek, rng)
+        report("golden", "u32_diff", 1.0, total, mism)
+        if mism:
+            print("DEVICE OUTPUT != GOLDEN MODEL — failing red",
+                  file=sys.stderr)
 
     if "gates" in sections:
         for level in (0, 1):

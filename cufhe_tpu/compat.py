@@ -120,9 +120,10 @@ def _gate2(name):
     def fn(out: Ctxt, in0: Ctxt, in1: Ctxt,
            stream: Optional[Stream] = None) -> None:
         assert _ctx is not None, "call Initialize(pub_key) first"
-        out._c = _ctx.gate(name, in0._c, in1._c)
-        if stream is not None:
-            stream.record(out._c)
+        # stream= forwards to Context.gate so work is PLACED on the
+        # stream's device (cufhe_gpu.cuh:152-189 semantics), not merely
+        # recorded; Context.gate also records the output on the stream
+        out._c = _ctx.gate(name, in0._c, in1._c, stream=stream)
     fn.__name__ = name.capitalize()
     return fn
 
@@ -141,29 +142,21 @@ Nor = _gate2("nor")
 
 def Not(out: Ctxt, in0: Ctxt, stream: Optional[Stream] = None) -> None:
     assert _ctx is not None
-    out._c = _ctx.not_(in0._c)
-    if stream is not None:
-        stream.record(out._c)
+    out._c = _ctx.not_(in0._c, stream=stream)
 
 
 def Copy(out: Ctxt, in0: Ctxt, stream: Optional[Stream] = None) -> None:
     assert _ctx is not None
-    out._c = _ctx.copy(in0._c)
-    if stream is not None:
-        stream.record(out._c)
+    out._c = _ctx.copy(in0._c, stream=stream)
 
 
 def Mux(out: Ctxt, inc: Ctxt, in1: Ctxt, in0: Ctxt,
         stream: Optional[Stream] = None) -> None:
     assert _ctx is not None
-    out._c = _ctx.mux(inc._c, in1._c, in0._c)
-    if stream is not None:
-        stream.record(out._c)
+    out._c = _ctx.mux(inc._c, in1._c, in0._c, stream=stream)
 
 
 def NMux(out: Ctxt, inc: Ctxt, in1: Ctxt, in0: Ctxt,
          stream: Optional[Stream] = None) -> None:
     assert _ctx is not None
-    out._c = _ctx.nmux(inc._c, in1._c, in0._c)
-    if stream is not None:
-        stream.record(out._c)
+    out._c = _ctx.nmux(inc._c, in1._c, in0._c, stream=stream)

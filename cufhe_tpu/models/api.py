@@ -211,12 +211,19 @@ class Context:
         return self.mux(inc, in1, in0, negate=True, stream=stream)
 
     # -- linear gates -------------------------------------------------------
-    def not_(self, ct: Ctxt) -> Ctxt:
+    def not_(self, ct: Ctxt, stream=None) -> Ctxt:
         prog = self._jit(("not",), B.not_gate)
-        return Ctxt(prog(self._shard(ct.data)), ct.level)
+        out = Ctxt(prog(self._place(ct.data, stream)), ct.level)
+        if stream is not None:
+            stream.record(out)
+        return out
 
-    def copy(self, ct: Ctxt) -> Ctxt:
-        return Ctxt(ct.data, ct.level)
+    def copy(self, ct: Ctxt, stream=None) -> Ctxt:
+        out = Ctxt(self._place(ct.data, stream) if stream is not None
+                   else ct.data, ct.level)
+        if stream is not None:
+            stream.record(out)
+        return out
 
     # -- TRLWE / TRGSW path ---------------------------------------------
     def prepare_trgsw(self, trgsw: np.ndarray) -> dict:

@@ -68,3 +68,30 @@ def test_mux_not_copy(keys):
     pt = cf.Ptxt()
     cf.Decrypt(pt, n, pri)
     assert pt.message_ == 0
+
+
+def test_compat_gates_run_on_stream_devices(keys):
+    """The v1 surface must PLACE work on a stream's device (mirrors
+    test_runtime.py::test_streams_execute_on_their_devices) — round-2's
+    compat shim recorded outputs on the stream but ran everything on
+    device 0."""
+    import jax
+    pri, _ = keys
+    devs = jax.devices()
+    assert len(devs) >= 2
+    st0, st1 = cf.Stream(device=devs[0]), cf.Stream(device=devs[1])
+    a, b = cf.Ctxt(), cf.Ctxt()
+    cf.Encrypt(a, cf.Ptxt(1), pri)
+    cf.Encrypt(b, cf.Ptxt(1), pri)
+    o0, o1, o2 = cf.Ctxt(), cf.Ctxt(), cf.Ctxt()
+    cf.Nand(o0, a, b, st0)
+    cf.Nand(o1, a, b, st1)
+    cf.Not(o2, o1, st1)
+    assert o0._c.data.devices() == {devs[0]}
+    assert o1._c.data.devices() == {devs[1]}
+    assert o2._c.data.devices() == {devs[1]}
+    cf.Synchronize()
+    for o, want in ((o0, 0), (o1, 0), (o2, 1)):
+        pt = cf.Ptxt()
+        cf.Decrypt(pt, o, pri)
+        assert pt.message_ == want

@@ -1,5 +1,7 @@
-"""Fused Pallas blind-rotate kernel vs golden model (interpret mode on CPU;
-the same kernel is verified bit-exact on real TPU hardware by bench.py)."""
+"""Fused Pallas blind-rotate kernel vs golden model (interpret mode on CPU
+— this proves the kernel MATH uint32-exactly; Mosaic lowering on real
+hardware is separately proven by benchmarks/golden_check.py, the suite's
+`golden` section, and tests/test_onchip.py under CUFHE_RUN_TPU=1)."""
 import numpy as np
 import pytest
 

@@ -59,3 +59,24 @@ def test_wrong_kind_rejected(tmp_path, tiny_key):
     S.save_eval_key(p, ek)
     with pytest.raises(AssertionError, match="not a secret key"):
         S.load_secret_key(p)
+
+
+def test_params_fingerprint_mismatch_rejected(tmp_path, tiny_key):
+    """A key file whose preset's parameter VALUES have since changed must
+    refuse to load (the round-2 key-cache trap: caches keyed by preset
+    name silently reused keys across gadget-parameter changes)."""
+    import numpy as np
+    sk, ek = tiny_key
+    path = str(tmp_path / "ek.npz")
+    S.save_eval_key(path, ek)
+    # simulate a changed preset: rewrite the stored fingerprint
+    z = dict(np.load(path, allow_pickle=False))
+    z["fingerprint"] = np.str_("0" * 16)
+    np.savez_compressed(path, **z)
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        S.load_eval_key(path)
+    # files from before fingerprinting (no field) still load
+    z.pop("fingerprint")
+    np.savez_compressed(path, **z)
+    ek2 = S.load_eval_key(path)
+    assert np.array_equal(ek2.bk, ek.bk)
