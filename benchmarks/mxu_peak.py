@@ -95,6 +95,23 @@ def xla_cases(rng):
     yield "xla-int8-bf16acc", dot_i8_bfacc, (a8, b8), macs
     yield "xla-bf16", dot_bf, (abf, bbf), macs
 
+    # the blind-rotation kernel's exact dot shape through plain XLA
+    # (batched): if this reaches the int8 peak where Mosaic does not, a
+    # hybrid (pallas rot/dec + XLA dots) is worth building
+    S, M, K, W = (2, 256, 256, 128) if SMALL else (18, 2048, 1536, 512)
+    A = jnp.asarray(rng.integers(-100, 100, (S, M, K), dtype=np.int64)
+                    .astype(np.int8))
+    X = jnp.asarray(rng.integers(-32, 32, (S, K, W), dtype=np.int64)
+                    .astype(np.int8))
+
+    @jax.jit
+    def dot_i8_kshape(a, x):
+        return jax.lax.dot_general(
+            a, x, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)
+
+    yield "xla-int8-kshape", dot_i8_kshape, (A, X), float(S) * M * K * W
+
 
 def pallas_case(rng, variant, M=2048, K=1536, W=512, S=18, steps=32):
     """S independent dots of the blind-rotation shape per grid step.
@@ -111,21 +128,23 @@ def pallas_case(rng, variant, M=2048, K=1536, W=512, S=18, steps=32):
     """
     if SMALL:
         M, K, W, S, steps = 256, 256, 128, 2, 2
+    dt = jnp.bfloat16 if variant == "bf16" else jnp.int8
+    acc_t = jnp.float32 if variant == "bf16" else jnp.int32
     A = jnp.asarray(rng.integers(-100, 100, (S, M, K), dtype=np.int64)
-                    .astype(np.int8))
+                    .astype(np.int8)).astype(dt)
     X = jnp.asarray(rng.integers(-32, 32, (S, K, W), dtype=np.int64)
-                    .astype(np.int8))
+                    .astype(np.int8)).astype(dt)
     NBUF = min(3, S)
 
     def kernel(a_ref, x_ref, o_ref, upd_ref):
         def body(i, c):
-            if variant == "pure":
-                acc = jnp.zeros((M, W), jnp.int32)
+            if variant in ("pure", "bf16"):
+                acc = jnp.zeros((M, W), acc_t)
                 for s in range(S):
                     acc += jax.lax.dot_general(
                         a_ref[s], x_ref[s], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32)
-                o_ref[...] = acc
+                        preferred_element_type=acc_t)
+                o_ref[...] = acc.astype(jnp.int32)
             else:                               # 'place'
                 pending = None
                 for s in range(S):
@@ -178,13 +197,14 @@ def pallas_case(rng, variant, M=2048, K=1536, W=512, S=18, steps=32):
             )(a, x)
 
     macs = float(M) * K * W * S * steps
-    return f"pallas-int8-{variant}-w{W}", run, (A, X), macs
+    return f"pallas-{variant}-w{W}", run, (A, X), macs
 
 
 def main():
     rng = np.random.default_rng(7)
     cases = list(xla_cases(rng)) + [pallas_case(rng, v)
-                                    for v in ("pure", "place", "write")]
+                                    for v in ("pure", "place", "write",
+                                              "bf16")]
     # the plain (unstaggered) schedule's dot shape: full 1024-lane tile
     cases.append(pallas_case(rng, "pure", W=1024, S=9))
     for name, fn, args, macs in cases:
