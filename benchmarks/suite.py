@@ -118,8 +118,9 @@ def main():
         # diff of device gates vs the golden model ON THIS DEVICE (Mosaic
         # lowering is what interpret-mode CPU tests cannot exercise)
         from golden_check import golden_diff
+        t0 = time.perf_counter()
         mism, total = golden_diff(ctx, sk, ek, rng)
-        report("golden", "u32_diff", 1.0, total, mism)
+        report("golden", "u32_diff", time.perf_counter() - t0, total, mism)
         if mism:
             print("DEVICE OUTPUT != GOLDEN MODEL — failing red",
                   file=sys.stderr)
