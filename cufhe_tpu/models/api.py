@@ -181,8 +181,14 @@ class Context:
                 c = jnp.repeat(c, a.shape[0] // c.shape[0], axis=0)
             return fn(c, a, b, keys=keys, params=p, backend=bk)
 
+        c3 = jnp.asarray(c3_rows)
+        if self.mesh is not None and c3.shape[0] != in0.data.shape[0]:
+            # per-row constants must shard WITH the batch axis: tile to
+            # full gate-major [G*B, 3] before shard_map splits axis 0
+            # (leaving them [G, 3] would shard the gate list itself)
+            c3 = jnp.repeat(c3, in0.data.shape[0] // c3.shape[0], axis=0)
         prog = self._jit(("gate_rows", level), run, batch_argnums=(0, 1, 2))
-        return Ctxt(prog(jnp.asarray(c3_rows), self._shard(in0.data),
+        return Ctxt(prog(c3, self._shard(in0.data),
                          self._shard(in1.data), self.keys), level)
 
     def mux(self, inc: Ctxt, in1: Ctxt, in0: Ctxt,

@@ -266,3 +266,29 @@ def test_precompile_and_chunked_execution(tiny_key, rng, monkeypatch):
     for i, out in enumerate(outs):
         got += decrypt_bits(out, sk).astype(int) << i
     assert np.array_equal(got, a_vals + b_vals)
+
+
+def test_run_schedule_with_mesh(tiny_key, rng):
+    """The executor's mesh fallback path (gather/gate_rows/scatter with the
+    batch sharded over all devices) — kept alongside the donated
+    single-device fast path, so it needs its own end-to-end coverage."""
+    import jax
+    from cufhe_tpu.parallel.mesh import data_mesh
+    from cufhe_tpu.runtime import build_ripple_adder
+
+    sk, ek = tiny_key
+    mesh = data_mesh()
+    ctx = Context(ek, mesh=mesh)
+    nbits, B = 4, len(jax.devices()) * 2
+    cb, _ = build_ripple_adder(nbits)
+    s = cb.compile()
+    a_vals = rng.integers(0, 1 << nbits, B)
+    b_vals = rng.integers(0, 1 << nbits, B)
+    enc = [encrypt_bits((a_vals >> i) & 1, sk, rng) for i in range(nbits)]
+    enc += [encrypt_bits((b_vals >> i) & 1, sk, rng) for i in range(nbits)]
+    enc.append(encrypt_bits(np.zeros(B, dtype=int), sk, rng))
+    outs = run_schedule(ctx, s, enc)
+    got = np.zeros(B, dtype=int)
+    for i, out in enumerate(outs):
+        got += decrypt_bits(out, sk).astype(int) << i
+    assert np.array_equal(got, a_vals + b_vals)
