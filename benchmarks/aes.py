@@ -1,10 +1,11 @@
 """Encrypted AES-128 on TPU: the kvsp-class workload end-to-end.
 
-Generates the Bristol AES-128 netlist (46,704 gates, 268 levels), schedules
-it with the native C++ core, and evaluates it over a batch of encrypted
-blocks at the flagship TFHEpp 128-bit parameter set, verifying every output
-block against plaintext AES. Reports blocks/s and effective bootstraps/s
-(45,760 bootstrapped gates per block; INV/EQW are free).
+Generates the Bristol AES-128 netlist (46,704 gates raw; the scheduler's
+NOT/COPY-absorption pass reduces it to 45,760 gates over 257 levels),
+schedules it with the native C++ core, and evaluates it over a batch of
+encrypted blocks at the flagship TFHEpp 128-bit parameter set, verifying
+every output block against plaintext AES. Reports blocks/s and effective
+bootstraps/s (45,760 bootstrapped gates per block; INV/EQW are free).
 
 Env: AES_BATCH (default 64), AES_PARAMS (default tfhepp_128bit).
 Run: python benchmarks/aes.py

@@ -33,7 +33,82 @@ struct Builder {
     std::vector<std::map<int32_t, std::vector<int32_t>>> schedule;
     int32_t num_levels = 0;
     bool compiled = false;
+    bool optimize = true;             // NOT/COPY absorption pass (sticky)
 };
+
+// Opcode contract for the optimizer (mirrors graph.py OPCODES order, which
+// tests assert): 0 and, 1 andyn, 2 andny, 3 or, 4 oryn, 5 orny, 6 nand,
+// 7 nor, 8 xor, 9 xnor, 10 mux, 11 nmux, 12 not, 13 copy.
+constexpr int32_t kMux = 10, kNMux = 11, kNot = 12, kCopy = 13;
+
+// kNegVar[op][i] = the gate computing op with input i negated. TFHE NOT is
+// ciphertext negation, and each variant's linear-combination constants
+// (golden.GATE_CONSTANTS) differ exactly by that sign: the rewrite is
+// ciphertext-bit-exact for the eight +-1-coefficient gates, and decode-
+// equivalent with an identical noise bound for xor/xnor (whose +-2
+// coefficients leave a 4*noise pre-rotation difference; 4*mu wraps to 0).
+// Reference gate table: bootstrap_gpu.cu:424-512.
+constexpr int32_t kNegVar[10][2] = {
+    {2, 1},  // and   -> andny, andyn
+    {7, 0},  // andyn -> nor,   and
+    {0, 7},  // andny -> and,   nor
+    {5, 4},  // or    -> orny,  oryn
+    {6, 3},  // oryn  -> nand,  or
+    {3, 6},  // orny  -> or,    nand
+    {4, 5},  // nand  -> oryn,  orny
+    {1, 2},  // nor   -> andyn, andny
+    {9, 9},  // xor   -> xnor
+    {8, 8},  // xnor  -> xor
+};
+
+// Absorb NOT/COPY chains before levelization. Every wire canonicalizes to
+// (root, parity): COPY aliases its source, NOT flips parity. Parity on a
+// two-input gate operand folds into the gate's negated-input variant
+// (bit-exact, see kNegVar); parity on a mux/nmux selector swaps the data
+// operands; parity on a mux data operand (or a circuit output) keeps one
+// canonical NOT wire per root — NOT chains and duplicate NOTs still dedup.
+// The rewrite is idempotent (after it, every consumed operand has parity
+// 0), so repeated cb_compile calls are safe; dead NOT/COPY wires are
+// removed by the liveness pass in cb_compile.
+void optimize_pass(Builder* b) {
+    const int32_t n = static_cast<int32_t>(b->wires.size());
+    std::vector<int32_t> root(n), par(n), not_of(n, -1);
+    for (int32_t w = 0; w < n; ++w) {
+        Gate& g = b->wires[w];
+        if (g.op == kCopy && g.nargs == 1) {
+            root[w] = root[g.args[0]];
+            par[w] = par[g.args[0]];
+        } else if (g.op == kNot && g.nargs == 1) {
+            const int32_t a = g.args[0];
+            root[w] = root[a];
+            par[w] = par[a] ^ 1;
+            if (par[w] == 1) {
+                g.args[0] = root[a];  // canonical NOT reads the root
+                if (not_of[root[w]] < 0) not_of[root[w]] = w;
+            }
+        } else {
+            root[w] = w;
+            par[w] = 0;
+            if (g.nargs == 2 && g.op >= 0 && g.op <= 9) {
+                for (int i = 0; i < 2; ++i) {
+                    const int32_t a = g.args[i];
+                    if (par[a]) g.op = kNegVar[g.op][i];
+                    g.args[i] = root[a];
+                }
+            } else if (g.nargs == 3 && (g.op == kMux || g.op == kNMux)) {
+                const int32_t c = g.args[0];
+                if (par[c]) std::swap(g.args[1], g.args[2]);
+                g.args[0] = root[c];
+                for (int i = 1; i < 3; ++i) {
+                    const int32_t a = g.args[i];
+                    g.args[i] = par[a] ? not_of[root[a]] : root[a];
+                }
+            }
+        }
+    }
+    for (int32_t& o : b->outputs)
+        o = par[o] ? not_of[root[o]] : root[o];
+}
 
 }  // namespace
 
@@ -77,10 +152,16 @@ int32_t cb_output(Builder* b, int32_t wire) {
     return 0;
 }
 
-// Dead-code-eliminate, ASAP-levelize, group by (level, op).
-// Returns the number of levels (gates are never cyclic by construction:
-// cb_gate only accepts already-existing wires).
+// Enable/disable the NOT/COPY absorption pass (default on). The pass
+// rewrites wires in place at compile, so disabling only affects compiles
+// that happen before the first optimized one.
+void cb_set_optimize(Builder* b, int32_t on) { b->optimize = (on != 0); }
+
+// Optimize (NOT/COPY absorption), dead-code-eliminate, ASAP-levelize,
+// group by (level, op). Returns the number of levels (gates are never
+// cyclic by construction: cb_gate only accepts already-existing wires).
 int32_t cb_compile(Builder* b) {
+    if (b->optimize) optimize_pass(b);
     const int32_t n = static_cast<int32_t>(b->wires.size());
     // 1. liveness from outputs
     std::vector<uint8_t> live(n, 0);

@@ -107,6 +107,7 @@ def load_bristol(path: str) -> Tuple[CircuitBuilder, dict]:
         return parse_bristol(f.read())
 
 
-def compile_bristol(text: str) -> Tuple[Schedule, dict]:
+def compile_bristol(text: str, optimize: bool = True
+                    ) -> Tuple[Schedule, dict]:
     cb, meta = parse_bristol(text)
-    return cb.compile(), meta
+    return cb.compile(optimize=optimize), meta

@@ -38,6 +38,75 @@ def _op_arity(name: str) -> int:
     return 1
 
 
+#: NEG_VARIANT[op][i] = the gate computing `op` with input i negated.
+#: TFHE NOT is ciphertext negation and the variants' linear-combination
+#: constants (golden.GATE_CONSTANTS) differ by exactly that sign, so
+#: op(not(x), b) -> NEG_VARIANT[op][0](x, b) is ciphertext-BIT-exact for
+#: the eight +-1-coefficient gates (and mux/copy rewrites are bit-exact
+#: too). xor/xnor use +-2 coefficients: there the rewrite's pre-rotation
+#: sum differs by 4x the negated input's *noise* (4*mu wraps to 0 mod
+#: 2^32), so it is decode-equivalent with an identical noise bound but
+#: not bit-identical. (Reference per-gate constant table:
+#: bootstrap_gpu.cu:424-512.) Mirrored by kNegVar in _native/circuit.cpp
+#: (test_runtime asserts agreement).
+NEG_VARIANT: Dict[str, Tuple[str, str]] = {
+    "and": ("andny", "andyn"), "andyn": ("nor", "and"),
+    "andny": ("and", "nor"), "or": ("orny", "oryn"),
+    "oryn": ("nand", "or"), "orny": ("or", "nand"),
+    "nand": ("oryn", "orny"), "nor": ("andyn", "andny"),
+    "xor": ("xnor", "xnor"), "xnor": ("xor", "xor"),
+}
+_NEG2: Dict[int, Tuple[int, int]] = {
+    OPCODES[k]: (OPCODES[a], OPCODES[b]) for k, (a, b) in NEG_VARIANT.items()}
+
+
+def _optimize_wires(wires, outputs):
+    """NOT/COPY absorption (the Python mirror of the native optimize_pass).
+
+    Canonicalize every wire to (root, parity) — COPY aliases, NOT flips
+    parity — then fold operand parity into the negated-input gate variants
+    (bit-exact, see NEG_VARIANT), swap mux branches on a negated selector,
+    and route mux data operands / circuit outputs that need a materialized
+    negation through one canonical NOT wire per root. Returns rewritten
+    (wires, outputs); absorbed NOT/COPY gates become dead and fall to DCE.
+    """
+    NOT, COPY = OPCODES["not"], OPCODES["copy"]
+    MUX, NMUX = OPCODES["mux"], OPCODES["nmux"]
+    n = len(wires)
+    root = [0] * n
+    par = [0] * n
+    not_of: Dict[int, int] = {}
+    new = list(wires)
+    for w, (op, args) in enumerate(wires):
+        if op == COPY and len(args) == 1:
+            root[w], par[w] = root[args[0]], par[args[0]]
+        elif op == NOT and len(args) == 1:
+            a = args[0]
+            root[w], par[w] = root[a], par[a] ^ 1
+            if par[w]:
+                new[w] = (NOT, (root[a],))   # canonical NOT reads the root
+                not_of.setdefault(root[w], w)
+        else:
+            root[w], par[w] = w, 0
+            if op >= 0 and len(args) == 2:
+                o = op
+                aa = []
+                for i, a in enumerate(args):
+                    if par[a]:
+                        o = _NEG2[o][i]
+                    aa.append(root[a])
+                new[w] = (o, tuple(aa))
+            elif op in (MUX, NMUX) and len(args) == 3:
+                c, t, f = args
+                if par[c]:
+                    t, f = f, t
+                t = not_of[root[t]] if par[t] else root[t]
+                f = not_of[root[f]] if par[f] else root[f]
+                new[w] = (op, (root[c], t, f))
+    outs = [not_of[root[o]] if par[o] else root[o] for o in outputs]
+    return new, outs
+
+
 # ---------------------------------------------------------------------------
 # Native library build/load
 # ---------------------------------------------------------------------------
@@ -93,6 +162,8 @@ def _bind_native(lib: ctypes.CDLL) -> None:
     lib.cb_output.restype = I32
     lib.cb_compile.argtypes = [ctypes.c_void_p]
     lib.cb_compile.restype = I32
+    lib.cb_set_optimize.argtypes = [ctypes.c_void_p, I32]
+    lib.cb_set_optimize.restype = None
     for fn in ("cb_num_wires", "cb_num_levels", "cb_num_outputs",
                "cb_num_inputs"):
         getattr(lib, fn).argtypes = [ctypes.c_void_p]
@@ -210,13 +281,19 @@ class CircuitBuilder:
         raise AttributeError(name)
 
     # -- compilation -------------------------------------------------------
-    def compile(self) -> Schedule:
+    def compile(self, optimize: bool = True) -> Schedule:
+        """Levelize (+ DCE) the DAG into a Schedule. optimize=True (default)
+        first absorbs NOT/COPY chains into gate variants — bit-exact on
+        ciphertexts (NEG_VARIANT) — removing their levels and dispatch
+        steps. The native pass rewrites wires in place, so a builder that
+        has compiled optimized once stays optimized."""
         if self._lib is not None:
-            return self._compile_native()
-        return self._compile_python()
+            return self._compile_native(optimize)
+        return self._compile_python(optimize)
 
-    def _compile_native(self) -> Schedule:
+    def _compile_native(self, optimize: bool = True) -> Schedule:
         lib, h = self._lib, self._h
+        lib.cb_set_optimize(h, 1 if optimize else 0)
         nlv = lib.cb_compile(h)
         if nlv < 0:
             raise RuntimeError("native compile failed")
@@ -241,19 +318,22 @@ class CircuitBuilder:
         return Schedule(lib.cb_num_wires(h), list(ins[:n_in]),
                         list(outs[:n_out]), dict(self._consts), levels)
 
-    def _compile_python(self) -> Schedule:
-        n = len(self._wires)
+    def _compile_python(self, optimize: bool = True) -> Schedule:
+        wires, outputs = self._wires, self._outputs
+        if optimize:
+            wires, outputs = _optimize_wires(wires, outputs)
+        n = len(wires)
         live = [False] * n
-        stack = list(self._outputs)
+        stack = list(outputs)
         while stack:
             w = stack.pop()
             if live[w]:
                 continue
             live[w] = True
-            stack.extend(self._wires[w][1])
+            stack.extend(wires[w][1])
         level = [0] * n
         max_level = 0
-        for w, (op, args) in enumerate(self._wires):
+        for w, (op, args) in enumerate(wires):
             if not live[w]:
                 level[w] = -1
                 continue
@@ -265,14 +345,14 @@ class CircuitBuilder:
         levels = []
         for lvl in range(1, max_level + 1):
             by_op: Dict[int, List[Tuple[int, int, int, int]]] = {}
-            for w, (op, args) in enumerate(self._wires):
+            for w, (op, args) in enumerate(wires):
                 if level[w] != lvl or not args:
                     continue
                 a = list(args) + [-1] * (3 - len(args))
                 by_op.setdefault(op, []).append((w, a[0], a[1], a[2]))
             levels.append([(OPNAMES[op], by_op[op])
                            for op in sorted(by_op)])
-        return Schedule(n, list(self._inputs), list(self._outputs),
+        return Schedule(n, list(self._inputs), list(outputs),
                         dict(self._consts), levels)
 
 

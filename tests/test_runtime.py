@@ -292,3 +292,144 @@ def test_run_schedule_with_mesh(tiny_key, rng):
     for i, out in enumerate(outs):
         got += decrypt_bits(out, sk).astype(int) << i
     assert np.array_equal(got, a_vals + b_vals)
+
+
+# ---------------------------------------------------------------------------
+# NOT/COPY absorption optimizer
+# ---------------------------------------------------------------------------
+def test_neg_variant_table_is_boolean_correct():
+    """Every negated-input variant must match its truth table (the same
+    table the native kNegVar mirrors)."""
+    import itertools
+
+    from cufhe_tpu.golden import PLAIN_GATES
+    from cufhe_tpu.runtime.graph import NEG_VARIANT
+    for op, (v0, v1) in NEG_VARIANT.items():
+        for a, b in itertools.product((0, 1), repeat=2):
+            assert PLAIN_GATES[op](1 - a, b) == PLAIN_GATES[v0](a, b)
+            assert PLAIN_GATES[op](a, 1 - b) == PLAIN_GATES[v1](a, b)
+
+
+@pytest.mark.parametrize("force_python", [False, True])
+def test_optimizer_absorbs_not_copy(force_python):
+    """not->variant absorption, copy aliasing, double-not cancellation,
+    mux selector swap, canonical-NOT dedup — native and Python agree."""
+    cb = CircuitBuilder(force_python=force_python)
+    a, b, c = cb.input(), cb.input(), cb.input()
+    na = cb.gate("not", a)
+    z = cb.gate("nand", na, b)                 # -> oryn(a, b)
+    cp = cb.gate("copy", z)
+    nn = cb.gate("not", cb.gate("not", b))     # -> b
+    y = cb.gate("xor", cp, nn)                 # -> xor(z, b)
+    nc = cb.gate("not", c)
+    m = cb.gate("mux", nc, y, z)               # -> mux(c, z, y)
+    n1 = cb.gate("not", y)
+    n2 = cb.gate("not", cb.gate("copy", y))    # dedups with n1
+    m2 = cb.gate("mux", c, n1, n2)             # data operands keep ONE not
+    cb.output(m)
+    cb.output(m2)
+    s = cb.compile()
+    quads = {q[0]: (op, q[1:]) for lvl in s.levels
+             for op, qs in lvl for q in qs}
+    assert quads[z] == ("oryn", (a, b, -1))
+    assert quads[y] == ("xor", (z, b, -1))
+    assert quads[m] == ("mux", (c, z, y))
+    assert na not in quads and cp not in quads and nn not in quads
+    nots = [w for w, (op, _) in quads.items() if op == "not"]
+    assert len(nots) == 1                      # n1/n2 dedup to one
+    assert quads[m2] == ("mux", (c, nots[0], nots[0]))
+
+
+def test_optimizer_native_and_python_agree():
+    def build(fp, opt):
+        cb = CircuitBuilder(force_python=fp)
+        ins = [cb.input() for _ in range(6)]
+        rng = np.random.default_rng(3)
+        wires = list(ins)
+        for i in range(60):
+            k = rng.integers(0, 5)
+            if k == 0:
+                wires.append(cb.gate("not", int(rng.choice(wires))))
+            elif k == 1:
+                wires.append(cb.gate("copy", int(rng.choice(wires))))
+            elif k == 2:
+                wires.append(cb.gate("mux", int(rng.choice(wires)),
+                                     int(rng.choice(wires)),
+                                     int(rng.choice(wires))))
+            else:
+                from cufhe_tpu.runtime.graph import OPS_2IN
+                op = OPS_2IN[int(rng.integers(0, len(OPS_2IN)))]
+                wires.append(cb.gate(op, int(rng.choice(wires)),
+                                     int(rng.choice(wires))))
+        for w in wires[-4:]:
+            cb.output(w)
+        return cb.compile(optimize=opt)
+    for opt in (False, True):
+        sn, sp = build(False, opt), build(True, opt)
+        assert sn.outputs == sp.outputs
+        assert sn.num_levels == sp.num_levels
+        for ln, lp in zip(sn.levels, sp.levels):
+            assert {op: sorted(g) for op, g in ln} == \
+                {op: sorted(g) for op, g in lp}
+
+
+def test_optimizer_bit_exact_encrypted(tiny_key, rng):
+    """For the +-1-coefficient gates, mux, and copy, optimized and
+    unoptimized schedules must produce BIT-identical output ciphertexts:
+    the variant gates' linear constants apply exactly the sign the
+    absorbed NOT would have (graph.py NEG_VARIANT)."""
+    from cufhe_tpu.runtime.executor import simulate_schedule
+
+    def build():
+        cb = CircuitBuilder()
+        a, b, c = cb.input(), cb.input(), cb.input()
+        na = cb.gate("not", a)
+        g1 = cb.gate("and", na, b)                  # -> andny(a, b)
+        g2 = cb.gate("oryn", cb.gate("not", b), c)  # -> nand(b, c)
+        g3 = cb.gate("mux", cb.gate("not", c), g1, g2)  # -> mux(c, g2, g1)
+        g4 = cb.gate("nor", g3, cb.gate("copy", g1))
+        cb.output(g4)
+        cb.output(cb.gate("not", g4))               # output-level NOT kept
+        return cb
+
+    sk, ek = tiny_key
+    ctx = Context(ek)
+    B = 4
+    bits = [rng.integers(0, 2, B) for _ in range(3)]
+    enc = [encrypt_bits(bt, sk, rng) for bt in bits]
+    s_raw = build().compile(optimize=False)
+    s_opt = build().compile(optimize=True)
+    assert s_opt.num_gates < s_raw.num_gates
+    # plaintext simulation agrees between the two schedules
+    for o_raw, o_opt in zip(simulate_schedule(s_raw, bits),
+                            simulate_schedule(s_opt, bits)):
+        assert np.array_equal(o_raw, o_opt)
+    outs_raw = run_schedule(ctx, s_raw, enc)
+    outs_opt = run_schedule(ctx, s_opt, enc)
+    for o_raw, o_opt in zip(outs_raw, outs_opt):
+        assert np.array_equal(np.asarray(o_raw.data),
+                              np.asarray(o_opt.data))
+
+
+def test_optimizer_xor_absorption_decodes_identically(tiny_key, rng):
+    """xor/xnor absorption is decode-equivalent (not bit-exact: their +-2
+    coefficients leave a 4*noise pre-rotation difference) — all four input
+    combinations must decrypt to the same bits through a NOT->XOR chain."""
+    def build():
+        cb = CircuitBuilder()
+        a, b = cb.input(), cb.input()
+        g = cb.gate("xor", cb.gate("not", a), b)    # -> xnor(a, b)
+        cb.output(cb.gate("xnor", g, cb.gate("not", b)))  # -> xor(g, b)
+        return cb
+
+    sk, ek = tiny_key
+    ctx = Context(ek)
+    a_bits = np.array([0, 0, 1, 1])
+    b_bits = np.array([0, 1, 0, 1])
+    enc = [encrypt_bits(a_bits, sk, rng), encrypt_bits(b_bits, sk, rng)]
+    s_opt = build().compile(optimize=True)
+    ops = [op for lvl in s_opt.levels for op, _ in lvl]
+    assert "not" not in ops and "xor" in ops and "xnor" in ops
+    want = 1 - (((1 - a_bits) ^ b_bits) ^ (1 - b_bits))
+    got = decrypt_bits(run_schedule(ctx, s_opt, enc)[0], sk)
+    assert np.array_equal(got, want)
