@@ -105,25 +105,39 @@ def main() -> None:
     a = encrypt_bits(bits0, sk, rng)
     b = encrypt_bits(bits1, sk, rng)
 
+    # BENCH_FUSED=1 runs each timed chain as ONE compiled program
+    # (Context.gate_chain, lax.scan over the bootstrap): one dispatch per
+    # chain instead of per gate, removing the per-enqueue tunnel tax from
+    # the measurement. Bit-identical gates either way.
+    fused = os.environ.get("BENCH_FUSED", "0") == "1"
+
     # warmup/compile (device_get forces real completion; block_until_ready is
     # not reliable for timing through the axon tunnel)
     out = ctx.nand(a, b)
     np.asarray(jax.device_get(out.data))
+    if fused:
+        out = ctx.gate_chain("nand", out, b, iters)
+        np.asarray(jax.device_get(out.data))
 
     reps = int(os.environ.get("BENCH_REPS", "3"))
     times = []
-    for _ in range(reps):   # median over reps: shared-chip variance ~5-10%
+    for r in range(reps):   # median over reps: shared-chip variance ~5-10%
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = ctx.nand(out, b)  # chain on outputs: device-resident
+        if fused:
+            out = ctx.gate_chain("nand", out, b, iters)
+        else:
+            for _ in range(iters):
+                out = ctx.nand(out, b)  # chain on outputs: device-resident
         np.asarray(jax.device_get(out.data))
         times.append((time.perf_counter() - t0) / iters)
     dt = sorted(times)[len(times) // 2]
     gates_per_sec = batch / dt
 
-    # correctness spot check on the last output
+    # correctness spot check on the last output (fused mode ran one extra
+    # warmup chain of `iters` gates)
+    total_gates = reps * iters + 1 + (iters if fused else 0)
     want = list(bits0)
-    for _ in range(reps * iters + 1):
+    for _ in range(total_gates):
         want = [1 - (x & y) for x, y in zip(want, bits1)]
     got = decrypt_bits(out, sk)
     errors = int(np.sum(got != np.array(want)))
@@ -137,6 +151,7 @@ def main() -> None:
         "batch": batch,
         "ms_per_batch": round(dt * 1e3, 2),
         "backend": backend,
+        "fused_chain": fused,
         "params": pname or "tfhepp_128bit",
         "decrypt_errors": errors,
         "device": str(jax.devices()[0]),

@@ -111,3 +111,22 @@ def test_multiply_circuit(ctx, tiny_key, rng):
     got = sum(decrypt_bits(p, sk).astype(int) << i
               for i, p in enumerate(prod))
     assert np.array_equal(got, a_vals * b_vals)
+
+
+def test_gate_chain_matches_looped_gates(ctx, tiny_key, rng):
+    """Context.gate_chain (one lax.scan program per chain) must be
+    bit-identical to the same number of separate gate() calls."""
+    import jax
+
+    from cufhe_tpu.models.api import encrypt_bits
+    sk, _ = tiny_key
+    bits_a = rng.integers(0, 2, 8)
+    bits_b = rng.integers(0, 2, 8)
+    a = encrypt_bits(bits_a, sk, rng)
+    b = encrypt_bits(bits_b, sk, rng)
+    cur = a
+    for _ in range(4):
+        cur = ctx.nand(cur, b)
+    fused = ctx.gate_chain("nand", a, b, 4)
+    assert np.array_equal(np.asarray(jax.device_get(cur.data)),
+                          np.asarray(jax.device_get(fused.data)))
