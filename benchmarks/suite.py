@@ -2,6 +2,8 @@
 
   gates    all 10 two-input bootstrapped gates + Mux/NMux + Not/Copy,
            both ciphertext levels      (reference test_gate_gpu.cc:42-83)
+  chain    16-deep dependent NAND chain fused into one program
+           (gate_chain) — per-gate device rate, dispatch amortized
   refresh  TRLWE->TRLWE noise refresh  (reference test_perf.cc:18-87)
   cmux     TRGSW-select on TRLWE pairs (reference test_cmux.cc:42-126)
   kernels  blind-rotate-only and keyswitch-only microbenchmarks
@@ -61,8 +63,8 @@ def main():
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--params", default="tfhepp_128bit")
     ap.add_argument("--sections",
-                    default="golden,gates,mux,linear,refresh,cmux,kernels,"
-                            "noise")
+                    default="golden,gates,chain,mux,linear,refresh,cmux,"
+                            "kernels,noise")
     args = ap.parse_args()
     sections = set(args.sections.split(","))
 
@@ -134,6 +136,24 @@ def main():
                 got = decrypt_bits(out, sk)
                 want = G.PLAIN_GATES[name](bits0, bits1)
                 report("gates", name, dt, B, np.sum(got != want), level)
+
+    if "chain" in sections:
+        # device-rate truth: a 16-deep dependent NAND chain fused into ONE
+        # program (Context.gate_chain) — per-gate time with the per-call
+        # dispatch tax amortized 16x, the closest analogue of the
+        # reference's cudaEvent kernel timing (test_util.h:30-72)
+        depth = 16
+        for level in (0, 1):
+            a = encrypt_bits(bits0, sk, rng, level=level)
+            b = encrypt_bits(bits1, sk, rng, level=level)
+            dt, out = timed(lambda: ctx.gate_chain("nand", a, b, depth),
+                            args.iters)
+            got = decrypt_bits(out, sk)
+            want = bits0.copy()
+            for _ in range(depth):
+                want = 1 - (want & bits1)
+            report("chain", f"nand_x{depth}", dt / depth, B,
+                   np.sum(got != want), level)
 
     if "mux" in sections:
         for level in (0, 1):

@@ -361,11 +361,82 @@ def _apply_step(fns, regs, step, keys):
     return fns["lin"](regs, jnp.asarray(idx), jnp.asarray(outs), neg)
 
 
+def _fuse_max() -> int:
+    """Gate-count ceiling for whole-schedule fusion (0 disables). Small
+    circuits fuse into ONE XLA program — one dispatch (and one ~30 ms
+    tunnel round trip) per evaluation instead of one per level step, the
+    dominant cost for adder-scale circuits. Large netlists stay on the
+    chunked donated-step path: their per-dispatch cost is already <2% and
+    a 45k-gate single program would compile for hours."""
+    return int(os.environ.get("CUFHE_FUSE_MAX", "512"))
+
+
+def _fused_program(ctx: Context, sched: Schedule, batch: int, lvl: int,
+                   slot: Dict[int, int], mu: int):
+    """One jitted program running the ENTIRE schedule: every level's
+    gather -> fused gate batch -> scatter inlined back-to-back, returning
+    the output rows. Cached per (schedule identity, batch)."""
+    cache = ctx._cache.setdefault("fused_scheds", {})
+    # key by the Schedule OBJECT (identity hash): the strong reference
+    # pins it alive, so the key cannot be reused by a new schedule the
+    # way a bare id() could after garbage collection
+    key = (sched, batch, lvl)
+    if key in cache:
+        return cache[key]
+    from ..ops import bootstrap as B
+    p, bk = ctx.params, ctx.backend
+    gate_fn = B.gate_lvl0 if lvl == 0 else B.gate_lvl1
+    mux_fn = B.mux_lvl0 if lvl == 0 else B.mux_lvl1
+    plans = _plan_schedule(sched, slot, _exec_chunk(batch), mu)
+    out_rows = np.asarray([slot[w] for w in sched.outputs], dtype=np.int32)
+
+    def whole(regs, keys):
+        S, bsz, width = regs.shape
+        for plan in plans:
+            for step in plan:
+                # index arrays are tiny compile-time constants; keys stay
+                # a runtime argument (never bake big arrays into HLO)
+                if step[0] == "two":
+                    _, ina, inb, outs, c3 = step
+                    gp = ina.shape[0]
+                    ga = regs[ina].reshape(gp * bsz, width)
+                    gb = regs[inb].reshape(gp * bsz, width)
+                    c = jnp.repeat(jnp.asarray(c3), bsz, axis=0)
+                    res = gate_fn(c, ga, gb, keys=keys, params=p,
+                                  backend=bk)
+                    regs = regs.at[outs].set(res.reshape(gp, bsz, width))
+                elif step[0] == "mux":
+                    _, ic, i1, i0, outs, neg = step
+                    gp = ic.shape[0]
+                    g = lambda x: regs[x].reshape(gp * bsz, width)
+                    res = mux_fn(g(ic), g(i1), g(i0), keys, p,
+                                 negate=bool(neg), backend=bk)
+                    regs = regs.at[outs].set(res.reshape(gp, bsz, width))
+                else:
+                    _, idx, outs, neg = step
+                    vals = regs[idx]
+                    if neg:
+                        vals = jnp.negative(vals)
+                    regs = regs.at[outs].set(vals)
+        return regs[out_rows]
+
+    # no donation: the output ([n_out, B, w]) cannot alias the register
+    # file ([S, B, w]), and within one program XLA updates regs in place
+    # anyway — donating would only emit "donated buffer not usable" noise
+    prog = jax.jit(whole)
+    cache[key] = prog
+    return prog
+
+
 def run_schedule(ctx: Context, sched: Schedule,
                  inputs: Sequence[Ctxt], level: int = 0) -> List[Ctxt]:
     """Execute a compiled circuit. inputs[i] feeds sched.inputs[i]; every
     input batch must share shape [B, dim+1]. Returns output Ctxts in
-    declaration order."""
+    declaration order.
+
+    Small circuits (num_gates <= CUFHE_FUSE_MAX, default 512) run as ONE
+    fused XLA program per evaluation; larger netlists run level-by-level
+    through cached donated-register-file step programs."""
     if len(inputs) != len(sched.inputs):
         raise ValueError(f"circuit has {len(sched.inputs)} inputs, "
                          f"got {len(inputs)}")
@@ -395,6 +466,11 @@ def run_schedule(ctx: Context, sched: Schedule,
             trivial_ciphertext(val, width - 1, mu, B))
 
     if ctx.mesh is None:
+        if 0 < sched.num_gates <= _fuse_max():
+            # whole-schedule fusion: one dispatch per evaluation
+            prog = _fused_program(ctx, sched, B, lvl, slot, mu)
+            outs = prog(regs, ctx.keys)
+            return [Ctxt(outs[i], lvl) for i in range(len(sched.outputs))]
         # fast path: donated-register-file step programs (gather + fused
         # gate batch + scatter in ONE XLA call each, register file aliased
         # in place), fixed-size chunks so a whole netlist compiles to a

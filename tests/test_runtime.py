@@ -249,6 +249,7 @@ def test_precompile_and_chunked_execution(tiny_key, rng, monkeypatch):
     from cufhe_tpu.runtime.executor import precompile_schedule
 
     monkeypatch.setenv("CUFHE_EXEC_CHUNK", "2")
+    monkeypatch.setenv("CUFHE_FUSE_MAX", "0")   # pin the chunked path
     sk, ek = tiny_key
     ctx = Context(ek)
     nbits, B = 4, 3
@@ -433,3 +434,33 @@ def test_optimizer_xor_absorption_decodes_identically(tiny_key, rng):
     want = 1 - (((1 - a_bits) ^ b_bits) ^ (1 - b_bits))
     got = decrypt_bits(run_schedule(ctx, s_opt, enc)[0], sk)
     assert np.array_equal(got, want)
+
+
+def test_fused_small_circuit_matches_stepped(tiny_key, rng, monkeypatch):
+    """Whole-schedule fusion (default for small circuits) must match the
+    chunked step path bit-for-bit — same gates, same order, one program."""
+    import jax
+
+    from cufhe_tpu.runtime import build_ripple_adder
+
+    sk, ek = tiny_key
+    nbits, B = 4, 3
+    cb, _ = build_ripple_adder(nbits)
+    s = cb.compile()
+    a_vals = rng.integers(0, 1 << nbits, B)
+    b_vals = rng.integers(0, 1 << nbits, B)
+    enc = [encrypt_bits((a_vals >> i) & 1, sk, rng) for i in range(nbits)]
+    enc += [encrypt_bits((b_vals >> i) & 1, sk, rng) for i in range(nbits)]
+    enc.append(encrypt_bits(np.zeros(B, dtype=int), sk, rng))
+
+    monkeypatch.setenv("CUFHE_FUSE_MAX", "512")
+    outs_fused = run_schedule(Context(ek), s, enc)
+    monkeypatch.setenv("CUFHE_FUSE_MAX", "0")
+    outs_step = run_schedule(Context(ek), s, enc)
+    for of, os_ in zip(outs_fused, outs_step):
+        assert np.array_equal(np.asarray(jax.device_get(of.data)),
+                              np.asarray(jax.device_get(os_.data)))
+    got = np.zeros(B, dtype=int)
+    for i, out in enumerate(outs_fused):
+        got += decrypt_bits(out, sk).astype(int) << i
+    assert np.array_equal(got, a_vals + b_vals)
