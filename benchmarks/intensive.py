@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--streams", type=int, default=512)
     ap.add_argument("--chain", type=int, default=20)
     ap.add_argument("--lanes", type=int, default=1)
+    ap.add_argument("--fused", action="store_true",
+                    help="run each lane's whole dependent chain as ONE "
+                         "compiled program (Context.gate_chain): one "
+                         "dispatch per lane instead of per gate — the "
+                         "upper bound the polling scheduler can approach")
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--params", default="tfhepp_128bit")
     args = ap.parse_args()
@@ -78,23 +83,36 @@ def main():
     lane_oth = [Ctxt(other.data[i * lb:(i + 1) * lb], 0)
                 for i in range(lanes)]
 
-    # warmup/compile both ops used in the alternating chain (lane shape)
-    _ = ctx.nand(lane_out[0], lane_oth[0])
-    _ = ctx.xor(lane_out[0], lane_oth[0])
+    chain_names = ["nand" if d % 2 == 0 else "xor" for d in range(chain)]
+
+    # warmup/compile the ops used by the measured path (lane shape)
+    if args.fused:
+        _ = ctx.gate_chain(chain_names, lane_out[0], lane_oth[0])
+    else:
+        _ = ctx.nand(lane_out[0], lane_oth[0])
+        _ = ctx.xor(lane_out[0], lane_oth[0])
     synchronize()
 
     sts = [Stream() for _ in range(lanes)]
     t0 = time.perf_counter()
     polls = 0
-    for d in range(chain):
+    if args.fused:
+        # whole chain per lane in one dispatch (device-resident recurrence
+        # under lax.scan) — bit-identical gates, no per-step host turnaround
         for ln in range(lanes):
-            # completion polling like the reference's scheduler loop; with
-            # lanes > 1 the next lane's gate is enqueued while this one runs
-            while not stream_query(sts[ln]):
-                polls += 1
-            op = ctx.nand if d % 2 == 0 else ctx.xor
-            lane_out[ln] = op(lane_out[ln], lane_oth[ln])
-            sts[ln].record(lane_out[ln])
+            lane_out[ln] = ctx.gate_chain(chain_names, lane_out[ln],
+                                          lane_oth[ln], stream=sts[ln])
+    else:
+        for d in range(chain):
+            for ln in range(lanes):
+                # completion polling like the reference's scheduler loop;
+                # with lanes > 1 the next lane's gate is enqueued while
+                # this one runs
+                while not stream_query(sts[ln]):
+                    polls += 1
+                op = ctx.nand if d % 2 == 0 else ctx.xor
+                lane_out[ln] = op(lane_out[ln], lane_oth[ln])
+                sts[ln].record(lane_out[ln])
     synchronize(*sts)
     dt = time.perf_counter() - t0
 
@@ -109,6 +127,7 @@ def main():
         "metric": "intensive_chained_gate_ops_per_sec",
         "value": round(total_ops / dt, 2),
         "streams": B, "chain_depth": chain, "lanes": lanes, "polls": polls,
+        "fused": bool(args.fused),
         "seconds": round(dt, 3), "errors": errors,
         "device": str(jax.devices()[0]),
     }))

@@ -191,36 +191,46 @@ class Context:
         return Ctxt(prog(c3, self._shard(in0.data),
                          self._shard(in1.data), self.keys), level)
 
-    def gate_chain(self, name: str, in0: Ctxt, in1: Ctxt, depth: int,
-                   stream=None) -> Ctxt:
-        """Dependent gate chain fused on device: out = gate(name, out, in1)
-        applied `depth` times inside ONE compiled program (lax.scan over the
+    def gate_chain(self, name, in0: Ctxt, in1: Ctxt,
+                   depth: Optional[int] = None, stream=None) -> Ctxt:
+        """Dependent gate chain fused on device: out = gate(out, in1)
+        applied repeatedly inside ONE compiled program (lax.scan over the
         bootstrap), so a whole chain costs one dispatch — the reference's
         device-resident g-gate chaining (cufhe_gates_gpu.cu:161-167) with
-        the driving loop moved onto the device. The scan body is traced
-        once, so compile cost matches a single gate. Bit-identical to
-        `depth` separate gate() calls."""
-        if name not in GATE_CONSTANTS:
-            raise ValueError(f"unknown gate {name!r}")
-        if depth < 1:
-            raise ValueError("depth must be >= 1")
+        the driving loop moved onto the device.
+
+        `name` is either a single gate name (applied `depth` times) or a
+        sequence of names, one per step (the scan carries per-step gate
+        constants, so ANY mix of the ten gates shares one compiled program
+        per (level, depth, batch)). The scan body is traced once, so
+        compile cost matches a single gate. Bit-identical to the same
+        sequence of separate gate() calls."""
+        names = [name] * depth if isinstance(name, str) else list(name)
+        if depth is not None and not isinstance(name, str) and \
+                depth != len(names):
+            raise ValueError("depth disagrees with the gate-name sequence")
+        if not names:
+            raise ValueError("chain needs at least one gate")
+        for nm in names:
+            if nm not in GATE_CONSTANTS:
+                raise ValueError(f"unknown gate {nm!r}")
         if in0.level != in1.level:
             raise ValueError("gate inputs must share a level")
         level = in0.level
         p, bk = self.params, self.backend
         mu = p.lvl0.mu if level == 0 else p.lvl1.mu
-        c3 = B.encode_gate_consts(GATE_CONSTANTS[name], mu)
+        c3s = B.encode_gate_consts_rows(names, mu)        # [depth, 3]
         fn = B.gate_lvl0 if level == 0 else B.gate_lvl1
 
-        def run(c, a, b, keys):
-            def body(acc, _):
+        def run(cs, a, b, keys):
+            def body(acc, c):
                 return fn(c, acc, b, keys=keys, params=p, backend=bk), None
-            out, _ = jax.lax.scan(body, a, None, length=depth)
+            out, _ = jax.lax.scan(body, a, cs)
             return out
 
-        prog = self._jit(("gate_chain", level, depth), run,
+        prog = self._jit(("gate_chain", level, len(names)), run,
                          batch_argnums=(1, 2))
-        out = Ctxt(prog(c3, self._place(in0.data, stream),
+        out = Ctxt(prog(jnp.asarray(c3s), self._place(in0.data, stream),
                         self._place(in1.data, stream),
                         self._keys_for(stream)), level)
         if stream is not None:

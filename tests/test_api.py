@@ -130,3 +130,21 @@ def test_gate_chain_matches_looped_gates(ctx, tiny_key, rng):
     fused = ctx.gate_chain("nand", a, b, 4)
     assert np.array_equal(np.asarray(jax.device_get(cur.data)),
                           np.asarray(jax.device_get(fused.data)))
+
+
+def test_gate_chain_heterogeneous(ctx, tiny_key, rng):
+    """A mixed-gate chain (scan over per-step constants) must be
+    bit-identical to the same sequence of separate gate() calls."""
+    import jax
+
+    from cufhe_tpu.models.api import encrypt_bits
+    sk, _ = tiny_key
+    a = encrypt_bits(rng.integers(0, 2, 8), sk, rng)
+    b = encrypt_bits(rng.integers(0, 2, 8), sk, rng)
+    names = ["nand", "xor", "andyn", "orny"]
+    cur = a
+    for nm in names:
+        cur = ctx.gate(nm, cur, b)
+    fused = ctx.gate_chain(names, a, b)
+    assert np.array_equal(np.asarray(jax.device_get(cur.data)),
+                          np.asarray(jax.device_get(fused.data)))
