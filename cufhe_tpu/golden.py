@@ -385,13 +385,44 @@ def blind_rotate(tlwe: np.ndarray, mu: int, ek: EvalKey,
 
     bar = 2 * lp.n - int(mod_switch_from_torus(b_in, lp.nbit))
     acc = rotated_test_vector(lp, bar, mu)
+    return _blind_rotate_loop(acc, a_in, ek)
 
+
+def _blind_rotate_loop(acc: np.ndarray, a_in: np.ndarray,
+                       ek: EvalKey) -> np.ndarray:
+    """The n0-iteration CMUX accumulator loop from an explicit initial
+    accumulator (the rotated test vector)."""
+    p = ek.params
+    lp = p.lvl1
     roundoffset = 1 << (32 - 2 - lp.nbit)
-    for i in range(n0):
+    for i in range(p.lvl0.dim):
         a_bar = int(mod_switch_from_torus(_u32(int(a_in[i]) + roundoffset),
                                           lp.nbit))
         acc = external_product_accumulate(acc, a_bar, ek.bk[i], lp)
     return acc
+
+
+def blind_rotate_tv(tlwe: np.ndarray, tv: np.ndarray,
+                    ek: EvalKey) -> np.ndarray:
+    """Blind rotation with a CUSTOM test polynomial tv [N] uint32 — the
+    core of programmable (functional) bootstrapping. The constant-mu gate
+    test vector (rotated_test_vector) is the special case tv = mu * 1."""
+    p = ek.params
+    lp = p.lvl1
+    n0 = p.lvl0.dim
+    bar = 2 * lp.n - int(mod_switch_from_torus(tlwe[n0], lp.nbit))
+    acc = np.zeros((lp.k + 1, lp.n), dtype=np.uint32)
+    acc[lp.k] = _rotate_by_xai(np.asarray(tv, dtype=np.uint32),
+                               bar & (2 * lp.n - 1), lp)
+    return _blind_rotate_loop(acc, tlwe[:n0], ek)
+
+
+def programmable_bootstrap(tlwe0: np.ndarray, tv: np.ndarray,
+                           ek: EvalKey) -> np.ndarray:
+    """Custom-test-vector bootstrap -> extract -> keyswitch (lvl0 out).
+    Output encrypts tv[w] (or -tv[w - N]) for modswitch phase window w."""
+    acc = blind_rotate_tv(tlwe0, tv, ek)
+    return key_switch(sample_extract_index0(acc, ek.params.lvl1), ek)
 
 
 # ---------------------------------------------------------------------------

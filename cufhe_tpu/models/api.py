@@ -305,6 +305,30 @@ class Context:
                          batch_argnums=(0,))
         return TrlweCtxt(prog(self._shard(ct.data), self.keys))
 
+    def pbs_tlwe2trlwe(self, ct: Ctxt, tv) -> TrlweCtxt:
+        """Programmable bootstrap, TLWE -> TRLWE: blind-rotate a CUSTOM
+        test polynomial `tv` ([N] uint32) by the input phase. Beyond the
+        reference's capability set (its test vector is pinned to the
+        constant mu); runs on the same kernels."""
+        prog = self._jit(("pbs",),
+                         lambda x, t, keys: B.pbs_tlwe2trlwe(
+                             x, t, keys, self.params, self.backend),
+                         batch_argnums=(0,))
+        return TrlweCtxt(prog(self._shard(ct.data), jnp.asarray(tv),
+                              self.keys))
+
+    def programmable_bootstrap(self, ct: Ctxt, tv) -> Ctxt:
+        """Full programmable (functional) bootstrap: custom-test-vector
+        blind rotation, sample extract, keyswitch back to lvl0. The output
+        encrypts tv[w] (negacyclically -tv[w - N]) where w is the
+        modswitched phase window of the input."""
+        prog = self._jit(("pbs_full",),
+                         lambda x, t, keys: B.programmable_bootstrap(
+                             x, t, keys, self.params, self.backend),
+                         batch_argnums=(0,))
+        return Ctxt(prog(self._shard(ct.data), jnp.asarray(tv),
+                         self.keys), 0)
+
     def sample_extract_and_keyswitch(self, tr: TrlweCtxt) -> Ctxt:
         prog = self._jit(("seiks",),
                          lambda x, keys: B.sei_and_ks(x, keys, self.params),

@@ -20,8 +20,8 @@ from .keys import DeviceKeys
 from .keyswitch import key_switch
 from .poly import (batched_test_vector, decompose, decompose_rotate_sub,
                    negacyclic_conv_i8, negacyclic_conv_toeplitz,
-                   sample_extract_for_ks, sample_extract_index0,
-                   split_decomp_digits)
+                   rotate_by_xai, sample_extract_for_ks,
+                   sample_extract_index0, split_decomp_digits)
 
 U32 = jnp.uint32
 
@@ -70,11 +70,40 @@ def blind_rotate(a: jnp.ndarray, b: jnp.ndarray, mu: int, keys: DeviceKeys,
     a: [B, n0] uint32 mask, b: [B] uint32 body (gate pre-add already fused by
     the caller). Returns the TRLWE accumulator [B, k+1, N] uint32.
     """
+    lp = params.lvl1
+    bar = U32(2 * lp.n) - _mod_switch(b, lp.nbit)
+    acc = batched_test_vector(bar, mu, lp)
+    return blind_rotate_acc(acc, a, keys, params, backend)
+
+
+def blind_rotate_tv(a: jnp.ndarray, b: jnp.ndarray, tv: jnp.ndarray,
+                    keys: DeviceKeys, params: GateParams,
+                    backend: str = "auto") -> jnp.ndarray:
+    """Blind rotation with a CUSTOM test polynomial — the core of
+    programmable (functional) bootstrapping. `tv` is [N] or [B, N] uint32:
+    the returned TRLWE's constant slot carries tv evaluated at the
+    modswitched input phase (negacyclic: windows N..2N-1 see -tv). The
+    constant-mu gate test vector (batched_test_vector) is the special case
+    tv = mu * (1, 1, ..., 1)."""
+    lp = params.lvl1
+    B = a.shape[0]
+    bar = U32(2 * lp.n) - _mod_switch(b, lp.nbit)
+    acc0 = jnp.zeros((B, lp.k + 1, lp.n), U32).at[:, lp.k, :].set(
+        jnp.broadcast_to(jnp.asarray(tv, U32), (B, lp.n)))
+    # bar == 2N (b = 0) wraps to rotation 0 — the reference's special case
+    # (gatebootstrapping_gpu.cuh:33-37) falls out of the masked form
+    acc = rotate_by_xai(acc0, bar & U32(2 * lp.n - 1), lp)
+    return blind_rotate_acc(acc, a, keys, params, backend)
+
+
+def blind_rotate_acc(acc: jnp.ndarray, a: jnp.ndarray, keys: DeviceKeys,
+                     params: GateParams,
+                     backend: str = "auto") -> jnp.ndarray:
+    """The n0-iteration CMUX accumulator loop from an explicit initial
+    accumulator [B, k+1, N] (the rotated test vector)."""
     backend = resolve_backend(backend, params)
     lp = params.lvl1
     n0 = params.lvl0.dim
-    bar = U32(2 * lp.n) - _mod_switch(b, lp.nbit)
-    acc = batched_test_vector(bar, mu, lp)
     roundoffset = U32(1 << (32 - 2 - lp.nbit))
 
     if backend.startswith("pallas"):
@@ -322,3 +351,23 @@ def sei_and_ks(trlwe: jnp.ndarray, keys: DeviceKeys,
     """SampleExtractAndKeySwitch (keyswitch_gpu.cu:26-40)."""
     return key_switch(sample_extract_for_ks(trlwe, params.lvl1),
                       keys.ksk_limbs_sei, params)
+
+
+def pbs_tlwe2trlwe(tlwe0: jnp.ndarray, tv: jnp.ndarray, keys: DeviceKeys,
+                   params: GateParams, backend: str = "auto") -> jnp.ndarray:
+    """Programmable bootstrap, TLWE -> TRLWE: blind-rotate a custom test
+    polynomial by the input phase. Beyond the reference's capability set
+    (its test vector is pinned to the constant mu); same kernels."""
+    n0 = params.lvl0.dim
+    return blind_rotate_tv(tlwe0[:, :n0], tlwe0[:, n0], tv, keys, params,
+                           backend)
+
+
+def programmable_bootstrap(tlwe0: jnp.ndarray, tv: jnp.ndarray,
+                           keys: DeviceKeys, params: GateParams,
+                           backend: str = "auto") -> jnp.ndarray:
+    """Full programmable bootstrap: custom-test-vector blind rotation,
+    sample extract, keyswitch back to lvl0. Output encrypts tv[w] (or
+    -tv[w - N]) where w is the modswitched input phase window."""
+    acc = pbs_tlwe2trlwe(tlwe0, tv, keys, params, backend)
+    return sei_and_ks(acc, keys, params)

@@ -221,3 +221,27 @@ def test_bg10_two_limb_digit_split_gate(rng):
     assert np.array_equal(got, want)
     assert [G.decrypt_bit(g, sk) for g in got] == \
         [1 - (a & b) for a, b in zip(bits0, bits1)]
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_programmable_bootstrap_bitexact(backend, tiny_key, rng):
+    """Custom-test-vector bootstrap (PBS) vs the golden model, and its
+    constant-mu special case vs the plain bootstrap — uint32-exact."""
+    sk, ek = tiny_key
+    p = sk.params
+    keys = K.prepare_keys(ek)
+    cts = [G.encrypt_bit(b, sk, rng) for b in (0, 1, 1)]
+    batch = jnp.asarray(np.stack(cts))
+    tv = rng.integers(0, 1 << 32, p.lvl1.n,
+                      dtype=np.uint64).astype(np.uint32)
+    want = np.stack([G.programmable_bootstrap(c, tv, ek) for c in cts])
+    got = np.asarray(B.programmable_bootstrap(batch, jnp.asarray(tv),
+                                              keys, p, backend))
+    assert np.array_equal(got, want)
+    # tv = const mu reduces exactly to the plain bootstrap
+    tv_mu = np.full(p.lvl1.n, p.lvl1.mu, dtype=np.uint32)
+    ref = np.asarray(B.bootstrap_tlwe2trlwe(batch, p.lvl1.mu, keys, p,
+                                            backend))
+    via_tv = np.asarray(B.pbs_tlwe2trlwe(batch, jnp.asarray(tv_mu), keys,
+                                         p, backend))
+    assert np.array_equal(ref, via_tv)

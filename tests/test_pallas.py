@@ -389,3 +389,19 @@ def test_pallas_preband_odd_n0_bitexact(rng):
                                  jnp.asarray(np.stack(c1)), keys2, p,
                                  backend="pallas"))
     assert np.array_equal(got, want)
+
+
+def test_pallas_programmable_bootstrap_bitexact(pallas_key, rng):
+    """PBS through the production Pallas kernel (the custom rotated test
+    vector enters as the kernel's acc_init) vs the golden model."""
+    sk, ek = pallas_key
+    p = sk.params
+    keys = K.prepare_keys(ek)
+    cts = [G.encrypt_bit(b, sk, rng) for b in (0, 1, 1, 0)]
+    batch = jnp.asarray(np.stack(cts))
+    tv = rng.integers(0, 1 << 32, p.lvl1.n,
+                      dtype=np.uint64).astype(np.uint32)
+    want = np.stack([G.blind_rotate_tv(c, tv, ek) for c in cts])
+    got = np.asarray(B.pbs_tlwe2trlwe(batch, jnp.asarray(tv), keys, p,
+                                      "pallas"))
+    assert np.array_equal(got, want)
