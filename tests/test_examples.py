@@ -13,6 +13,8 @@ EXAMPLES = [
     ("01_gates.py", "all 192 decryptions correct"),
     ("02_adder_and_netlists.py", "additions OK"),
     ("03_server_client_split.py", "all decryptions correct"),
+    ("04_encrypted_processor.py",
+     "all encrypted program runs match the plaintext interpreter"),
 ]
 
 
