@@ -459,11 +459,17 @@ def run_schedule(ctx: Context, sched: Schedule,
     slot = allocate_slots(sched)
     num_slots = max(slot.values()) + 1 if slot else 1
     regs = jnp.zeros((num_slots, B, width), dtype=U32)
-    for wire, ct in zip(sched.inputs, inputs):
-        regs = regs.at[slot[wire]].set(ct.data)
+    # one stacked scatter for all inputs+consts: a per-input .at[].set loop
+    # dispatches one XLA program per input (AES: 256, TOY8 ROM: 193 — each
+    # an enqueue through the tunnel), where one scatter is a single dispatch
+    rows = [slot[w] for w in sched.inputs]
+    planes = [ct.data for ct in inputs]
     for wire, val in sched.consts.items():
-        regs = regs.at[slot[wire]].set(
-            trivial_ciphertext(val, width - 1, mu, B))
+        rows.append(slot[wire])
+        planes.append(trivial_ciphertext(val, width - 1, mu, B))
+    if rows:
+        regs = regs.at[jnp.asarray(rows, dtype=jnp.int32)].set(
+            jnp.stack(planes))
 
     if ctx.mesh is None:
         if 0 < sched.num_gates <= _fuse_max():
