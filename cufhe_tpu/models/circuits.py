@@ -141,3 +141,33 @@ def multiply(ctx: Context, a: Sequence[Ctxt], b: Sequence[Ctxt]
         if cur:
             out.append(cur[0])
     return out
+
+
+def cmux_tree_lookup(ctx: Context, sels: Sequence[dict],
+                     leaves) -> "TrlweCtxt":
+    """Vertical-packing table lookup — the kvsp ROM/RAM-read primitive the
+    reference's CMUX exists to serve (__CMUXNTT__, bootstrap_gpu.cu:197-285;
+    the reference ships the single kernel, not the tree).
+
+    Selects entry `addr` out of a table of 2^d TRLWE words entirely under
+    encryption: `leaves` is a TrlweCtxt whose batch axis is the table
+    ([2^d, k+1, N], each word packing up to N bits), and `sels` holds the
+    d address bits as prepared TRGSW ciphertexts (Context.prepare_trgsw),
+    LSB first. Returns the selected word as a [1, k+1, N] TrlweCtxt.
+
+    TPU shape: every level of the binary tree halves the table with ONE
+    batched CMUX program (all pairs of a level share that level's selector
+    bit), so a 2^d-entry lookup is d dispatches of MXU work instead of the
+    2^d - 1 separate kernel launches a stream-per-pair port would issue.
+    """
+    from .api import TrlweCtxt
+
+    data = leaves.data
+    if data.shape[0] != 1 << len(sels):
+        raise ValueError(f"table has {data.shape[0]} entries; "
+                         f"{len(sels)} selector bits need "
+                         f"{1 << len(sels)}")
+    for tg in sels:   # LSB first: bit 0 picks between adjacent entries
+        data = ctx.cmux(tg, TrlweCtxt(data[1::2]),
+                        TrlweCtxt(data[0::2])).data
+    return TrlweCtxt(data)
