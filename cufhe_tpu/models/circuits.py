@@ -171,3 +171,35 @@ def cmux_tree_lookup(ctx: Context, sels: Sequence[dict],
         data = ctx.cmux(tg, TrlweCtxt(data[1::2]),
                         TrlweCtxt(data[0::2])).data
     return TrlweCtxt(data)
+
+
+def vertical_packing_lookup(ctx: Context, sels: Sequence[dict],
+                            leaves, word_bits: int):
+    """Full vertical-packing read: ONE encrypted bit out of a table of
+    2^(d - word_bits) TRLWE words x 2^word_bits slots, addressed entirely
+    by TRGSW ciphertexts (the complete kvsp memory-read shape; the
+    reference ships only the per-node CMUX kernel,
+    bootstrap_gpu.cu:197-285).
+
+    sels: all d address bits, LSB first — sels[:word_bits] select the slot
+    inside a word, sels[word_bits:] walk the CMUX tree over words. The
+    slot walk is CMUX-with-monomial-rotation: bit i conditionally
+    multiplies the selected word by X^(-2^i) (a negacyclic roll, plain VPU
+    work), so after all low bits the addressed slot sits at coefficient 0,
+    which sample-extract + keyswitch returns to the lvl0 gate domain.
+    """
+    import jax.numpy as jnp
+
+    from ..ops import poly
+    from .api import TrlweCtxt
+
+    lp = ctx.params.lvl1
+    if not 0 <= word_bits <= lp.nbit:
+        raise ValueError(f"word_bits must be in [0, {lp.nbit}]")
+    word = cmux_tree_lookup(ctx, sels[word_bits:], leaves)
+    for i in range(word_bits):
+        shift = (2 * lp.n - (1 << i)) % (2 * lp.n)
+        bar = jnp.full((word.data.shape[0],), shift, dtype=jnp.uint32)
+        rot = TrlweCtxt(poly.rotate_by_xai(word.data, bar, lp))
+        word = ctx.cmux(sels[i], rot, word)
+    return ctx.sample_extract_and_keyswitch(word)

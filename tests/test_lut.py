@@ -84,3 +84,39 @@ def test_cmux_tree_rejects_size_mismatch(tiny_key, rng):
         pass
     else:
         raise AssertionError("size mismatch not rejected")
+
+
+def test_vertical_packing_full_read(tiny_key, rng):
+    """2 tree bits x 2 word bits = 16-bit encrypted table; every address
+    reads back its plaintext bit through the full vertical-packing path."""
+    from cufhe_tpu.models.api import decrypt_bits
+
+    sk, ek = tiny_key
+    lp = sk.params.lvl1
+    ctx = Context(ek)
+    tree_bits, word_bits = 2, 2
+    words = rng.integers(0, 2, size=(1 << tree_bits, lp.n))
+    leaves, _ = _setup(sk, rng, tree_bits, words)
+    for addr in range(1 << (tree_bits + word_bits)):
+        slot, wi = addr & 3, addr >> word_bits
+        sels = [ctx.prepare_trgsw(
+            G.trgsw_encrypt((addr >> i) & 1, lp, sk.lvl1, rng))
+            for i in range(tree_bits + word_bits)]
+        bit = circuits.vertical_packing_lookup(ctx, sels, leaves, word_bits)
+        assert decrypt_bits(bit, sk)[0] == words[wi][slot], addr
+
+
+def test_vertical_packing_word_bits_bounds(tiny_key, rng):
+    sk, ek = tiny_key
+    lp = sk.params.lvl1
+    ctx = Context(ek)
+    words = rng.integers(0, 2, size=(2, lp.n))
+    leaves, _ = _setup(sk, rng, 1, words)
+    sels = [ctx.prepare_trgsw(G.trgsw_encrypt(0, lp, sk.lvl1, rng))
+            for _ in range(1 + lp.nbit + 1)]
+    try:
+        circuits.vertical_packing_lookup(ctx, sels, leaves, lp.nbit + 1)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("word_bits bound not enforced")
