@@ -15,6 +15,7 @@ EXAMPLES = [
     ("03_server_client_split.py", "all decryptions correct"),
     ("04_encrypted_processor.py",
      "all encrypted program runs match the plaintext interpreter"),
+    ("05_encrypted_lookup.py", "all encrypted lookups correct"),
 ]
 
 
