@@ -112,15 +112,80 @@ def measure_noise(params, backend: str = "auto", batch: int = 2048,
     }
 
 
+def measure_cmux_tree_noise(params, backend: str = "auto", depth: int = 8,
+                            batch: int = 64, ek=None, sk=None) -> list:
+    """CMUX-chain noise growth: how deep a vertical-packing tree can go.
+
+    Each tree level adds one external product of noise to the selected
+    word (no bootstrap in the tree), so depth is budgeted against the
+    TRLWE decryption margin. Chains `depth` CMUX levels (one shared TRGSW
+    selector per level, as in a real tree) over a batch of N-slot words
+    and reports the slot-phase noise and margin after every level.
+    Returns one record per depth.
+    """
+    import jax
+
+    from cufhe_tpu import golden as G
+    from cufhe_tpu.models import Context
+    from cufhe_tpu.models.api import TrlweCtxt
+
+    if ek is None or sk is None:
+        ek, sk = load_keys(params)
+    ctx = Context(ek, backend=backend)
+    lp = params.lvl1
+    mu = lp.mu
+    rng = np.random.default_rng(13)
+
+    def enc_words(bits):
+        return np.stack([G.trlwe_encrypt_bits(w, lp, sk.lvl1, rng)
+                         for w in bits])
+
+    plain = rng.integers(0, 2, (batch, lp.n))
+    cur = TrlweCtxt(np.asarray(enc_words(plain)))
+    rows = []
+    for d in range(1, depth + 1):
+        alt_plain = rng.integers(0, 2, (batch, lp.n))
+        alt = TrlweCtxt(np.asarray(enc_words(alt_plain)))
+        sel = int(rng.integers(2))
+        tg = ctx.prepare_trgsw(G.trgsw_encrypt(sel, lp, sk.lvl1, rng))
+        # selected branch carries the accumulated chain; the other is fresh
+        cur = (ctx.cmux(tg, cur, alt) if sel == 1
+               else ctx.cmux(tg, alt, cur))
+        data = np.asarray(jax.device_get(cur.data))
+        ph = np.stack([G.trlwe_phase(w, lp, sk.lvl1)
+                       for w in data]).astype(np.int64)
+        ph[ph >= 1 << 31] -= 1 << 32
+        noise = ph - np.where(plain == 1, mu, -mu)
+        std = float(noise.std())
+        rows.append({
+            "metric": "cmux_tree_noise",
+            "params": params.name, "backend": backend,
+            "depth": d, "words": batch,
+            "noise_std_log2": round(float(np.log2(std)), 2) if std else None,
+            "max_abs_noise_log2":
+                round(float(np.log2(max(np.abs(noise).max(), 1))), 2),
+            "margin_sigmas": round(mu / std, 2) if std else None,
+            "slot_errors": int(np.sum(np.abs(noise) >= mu)),
+            "device": str(jax.devices()[0]),
+        })
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--params", default="tfhepp_128bit")
     ap.add_argument("--backend", default="auto")
+    ap.add_argument("--cmux-depth", type=int, default=0,
+                    help="also measure CMUX-tree noise to this depth")
     args = ap.parse_args()
     from cufhe_tpu import PRESETS
     print(json.dumps(measure_noise(PRESETS[args.params], args.backend,
                                    args.batch)))
+    if args.cmux_depth:
+        for row in measure_cmux_tree_noise(PRESETS[args.params],
+                                           args.backend, args.cmux_depth):
+            print(json.dumps(row))
 
 
 if __name__ == "__main__":
