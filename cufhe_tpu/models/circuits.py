@@ -203,3 +203,43 @@ def vertical_packing_lookup(ctx: Context, sels: Sequence[dict],
         rot = TrlweCtxt(poly.rotate_by_xai(word.data, bar, lp))
         word = ctx.cmux(sels[i], rot, word)
     return ctx.sample_extract_and_keyswitch(word)
+
+
+def vertical_packing_write(ctx: Context, sels: Sequence[dict],
+                           leaves, value):
+    """Oblivious encrypted-RAM write: replace table word `addr` with
+    `value` without revealing which word changed (the write half of the
+    kvsp memory model; the reference ships only the CMUX kernel).
+
+    leaves: TrlweCtxt table [2^d, k+1, N]; sels: the d address bits as
+    prepared TRGSW ciphertexts, LSB first; value: TrlweCtxt [1, k+1, N].
+    Returns the new table.
+
+    Invariant construction, one batched CMUX per address bit: A starts as
+    `value` broadcast to every slot; after bit j, A[w] == value where w
+    matches addr on the low j+1 bits and A[w] == mem[w] otherwise — the
+    branch pairing per word is plaintext indexing (bit j of w), so each
+    level is ONE batched CMUX program over all 2^d words.
+
+    Note every word (touched or not) passes through d CMUX levels, so one
+    write adds d external products of noise to the whole table — inherent
+    to oblivious writes; budget with benchmarks/noise.py --cmux-depth and
+    refresh words periodically (Context.refresh).
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .api import TrlweCtxt
+
+    mem = leaves.data
+    M = mem.shape[0]
+    if M != 1 << len(sels):
+        raise ValueError(f"table has {M} entries; {len(sels)} selector "
+                         f"bits need {1 << len(sels)}")
+    A = jnp.broadcast_to(value.data, mem.shape)
+    for j, tg in enumerate(sels):
+        bitj = ((np.arange(M) >> j) & 1)[:, None, None].astype(bool)
+        c1 = jnp.where(bitj, A, mem)      # selector bit 1: words with wj=1
+        c0 = jnp.where(bitj, mem, A)      # selector bit 0: words with wj=0
+        A = ctx.cmux(tg, TrlweCtxt(c1), TrlweCtxt(c0)).data
+    return TrlweCtxt(A)

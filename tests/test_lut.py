@@ -120,3 +120,50 @@ def test_vertical_packing_word_bits_bounds(tiny_key, rng):
         pass
     else:
         raise AssertionError("word_bits bound not enforced")
+
+
+def test_vertical_packing_write_then_read(tiny_key, rng):
+    """Oblivious write: for every address, write a fresh word, then read
+    every table entry back — the written word changed, the others did
+    not."""
+    sk, ek = tiny_key
+    lp = sk.params.lvl1
+    ctx = Context(ek)
+    d = 2
+    words = rng.integers(0, 2, size=(1 << d, lp.n))
+    leaves, _ = _setup(sk, rng, d, words)
+
+    def read_plain(table, wi):
+        phase = G.trlwe_phase(np.asarray(table.data)[wi], lp, sk.lvl1)
+        return (phase.astype(np.int64) >> 31) ^ 1
+
+    for addr in range(1 << d):
+        new_bits = rng.integers(0, 2, lp.n)
+        value = TrlweCtxt(np.asarray(
+            G.trlwe_encrypt_bits(new_bits, lp, sk.lvl1, rng))[None])
+        sels = [ctx.prepare_trgsw(
+            G.trgsw_encrypt((addr >> i) & 1, lp, sk.lvl1, rng))
+            for i in range(d)]
+        new_table = circuits.vertical_packing_write(ctx, sels, leaves,
+                                                    value)
+        for wi in range(1 << d):
+            want = new_bits if wi == addr else words[wi]
+            assert np.array_equal(read_plain(new_table, wi), want), \
+                (addr, wi)
+
+
+def test_vertical_packing_write_rejects_size_mismatch(tiny_key, rng):
+    sk, ek = tiny_key
+    lp = sk.params.lvl1
+    ctx = Context(ek)
+    words = rng.integers(0, 2, size=(4, lp.n))
+    leaves, _ = _setup(sk, rng, 2, words)
+    value = TrlweCtxt(np.asarray(
+        G.trlwe_encrypt_bits(words[0], lp, sk.lvl1, rng))[None])
+    sels = [ctx.prepare_trgsw(G.trgsw_encrypt(0, lp, sk.lvl1, rng))]
+    try:
+        circuits.vertical_packing_write(ctx, sels, leaves, value)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("size mismatch not rejected")
