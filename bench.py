@@ -118,6 +118,7 @@ def main() -> None:
             sk = S.load_secret_key(sk_cache)
         except ValueError as e:   # params-fingerprint mismatch: regenerate
             print(f"stale key cache ({e}); regenerating", file=sys.stderr)
+            ek = sk = None        # a half-loaded pair must not survive
     if ek is None:
         print("generating 128-bit keys (one-time)...", file=sys.stderr)
         sk = G.keygen(PRESETS[pname] if pname else TFHEPP_128, seed=0)

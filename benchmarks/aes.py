@@ -23,6 +23,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon plugin ignores the env var; force CPU before backend init
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main() -> None:
     import jax

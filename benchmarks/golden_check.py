@@ -22,6 +22,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon plugin ignores the env var; force CPU before backend init
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 
 def golden_diff(ctx, sk, ek, rng, nb: int = 8,
                 gates=("nand", "xor", "andny"), check_mux: bool = True):

@@ -29,6 +29,12 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon plugin ignores the env var; force CPU before backend init
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 
 def main():
@@ -51,21 +57,10 @@ def main():
     from cufhe_tpu.models import Context
     from cufhe_tpu.models.api import decrypt_bits, encrypt_bits
     from cufhe_tpu.runtime import Stream, stream_query, synchronize
-    from cufhe_tpu.utils import serialization as S
 
     params = PRESETS[args.params]
-    here = os.path.dirname(os.path.abspath(__file__))
-    cache = os.path.join(os.path.dirname(here),
-                         f".bench_keys_{params.name}.npz")
-    sk_cache = cache.replace("keys", "sk")
-    if os.path.exists(cache) and os.path.exists(sk_cache):
-        ek, sk = S.load_eval_key(cache), S.load_secret_key(sk_cache)
-    else:
-        print("generating keys...", file=sys.stderr)
-        sk = G.keygen(params, seed=0)
-        ek = G.make_eval_key(sk, seed=1)
-        S.save_eval_key(cache, ek)
-        S.save_secret_key(sk_cache, sk)
+    from _keys import load_or_make_bench_keys
+    sk, ek = load_or_make_bench_keys(params.name)
 
     ctx = Context(ek, backend=args.backend)
     rng = np.random.default_rng(3)
@@ -111,8 +106,10 @@ def main():
                 while not stream_query(sts[ln]):
                     polls += 1
                 op = ctx.nand if d % 2 == 0 else ctx.xor
-                lane_out[ln] = op(lane_out[ln], lane_oth[ln])
-                sts[ln].record(lane_out[ln])
+                # stream= places the gate on the lane's device (and
+                # records the output), matching the fused branch
+                lane_out[ln] = op(lane_out[ln], lane_oth[ln],
+                                  stream=sts[ln])
     synchronize(*sts)
     dt = time.perf_counter() - t0
 

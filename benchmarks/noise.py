@@ -20,6 +20,12 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon plugin ignores the env var; force CPU before backend init
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 
 #: Documented margin floors per shipping configuration (sigmas of worst-
@@ -35,22 +41,10 @@ MARGIN_FLOORS = {
 
 
 def load_keys(params):
-    """Load or create the cached key pair for a preset."""
-    from cufhe_tpu import golden as G
-    from cufhe_tpu.utils import serialization as S
-    here = os.path.dirname(os.path.abspath(__file__))
-    cache = os.path.join(os.path.dirname(here),
-                         f".bench_keys_{params.name}.npz"
-                         if params.name != "tfhepp_128bit"
-                         else ".bench_keys_128.npz")
-    sk_cache = cache.replace("keys", "sk")
-    if os.path.exists(cache) and os.path.exists(sk_cache):
-        return S.load_eval_key(cache), S.load_secret_key(sk_cache)
-    print(f"generating {params.name} keys (one-time)...", file=sys.stderr)
-    sk = G.keygen(params, seed=0)
-    ek = G.make_eval_key(sk, seed=1)
-    S.save_eval_key(cache, ek)
-    S.save_secret_key(sk_cache, sk)
+    """Load or create the cached key pair for a preset (stale-fingerprint
+    caches regenerate transparently — shared _keys helper)."""
+    from _keys import load_or_make_bench_keys
+    sk, ek = load_or_make_bench_keys(params.name)
     return ek, sk
 
 

@@ -17,6 +17,11 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon plugin ignores the env var; force CPU before backend init
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 
 def _force(x):
     return np.asarray(jax.device_get(x))

@@ -66,12 +66,7 @@ def main() -> None:
     inputs = TOY.encrypt_state(progs, sk, rng)
 
     tc = time.perf_counter()
-    if fused:
-        # warm the one whole-circuit program with an untimed cycle
-        TOY.run_cycles(ctx, sched, inputs, 1)
-        n_progs = 1
-    else:
-        n_progs = precompile_schedule(ctx, sched, batch)
+    n_progs = precompile_schedule(ctx, sched, batch)
     compile_s = time.perf_counter() - tc
     print(f"precompiled {n_progs} programs in {compile_s:.0f}s",
           file=sys.stderr)

@@ -30,6 +30,12 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon plugin ignores the env var; force CPU before backend init
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 
 def _force(out):
@@ -74,28 +80,18 @@ def main():
     from cufhe_tpu import PRESETS, golden as G
     from cufhe_tpu.models import Context
     from cufhe_tpu.models.api import TrlweCtxt, decrypt_bits, encrypt_bits
-    from cufhe_tpu.utils import serialization as S
 
     params = PRESETS[args.params]
-    here = os.path.dirname(os.path.abspath(__file__))
-    cache = os.path.join(os.path.dirname(here),
-                         f".bench_keys_{params.name}.npz")
-    sk_cache = cache.replace("keys", "sk")
-    if os.path.exists(cache) and os.path.exists(sk_cache):
-        ek, sk = S.load_eval_key(cache), S.load_secret_key(sk_cache)
-    else:
-        print(f"generating {params.name} keys (one-time)...", file=sys.stderr)
-        sk = G.keygen(params, seed=0)
-        ek = G.make_eval_key(sk, seed=1)
-        S.save_eval_key(cache, ek)
-        S.save_secret_key(sk_cache, sk)
+    from _keys import load_or_make_bench_keys
+    sk, ek = load_or_make_bench_keys(params.name)
 
     ctx = Context(ek, backend=args.backend)
     rng = np.random.default_rng(7)
     B = args.batch
     dev = str(jax.devices()[0])
     results = []
-    out_path = os.path.join(here, "results.jsonl")
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results.jsonl")
 
     def report(section, name, dt, ops, errors, level=None):
         rec = {"section": section, "name": name, "ops_per_sec":

@@ -205,10 +205,15 @@ class Context:
         per (level, depth, batch)). The scan body is traced once, so
         compile cost matches a single gate. Bit-identical to the same
         sequence of separate gate() calls."""
-        names = [name] * depth if isinstance(name, str) else list(name)
-        if depth is not None and not isinstance(name, str) and \
-                depth != len(names):
-            raise ValueError("depth disagrees with the gate-name sequence")
+        if isinstance(name, str):
+            if depth is None:
+                raise ValueError("depth is required with a single gate name")
+            names = [name] * depth
+        else:
+            names = list(name)
+            if depth is not None and depth != len(names):
+                raise ValueError("depth disagrees with the gate-name "
+                                 "sequence")
         if not names:
             raise ValueError("chain needs at least one gate")
         for nm in names:
@@ -310,11 +315,14 @@ class Context:
         test polynomial `tv` ([N] uint32) by the input phase. Beyond the
         reference's capability set (its test vector is pinned to the
         constant mu); runs on the same kernels."""
-        prog = self._jit(("pbs",),
+        tv = jnp.asarray(tv)
+        # a per-batch tv ([B, N]) must shard with the batch under a mesh
+        prog = self._jit(("pbs", tv.ndim),
                          lambda x, t, keys: B.pbs_tlwe2trlwe(
                              x, t, keys, self.params, self.backend),
-                         batch_argnums=(0,))
-        return TrlweCtxt(prog(self._shard(ct.data), jnp.asarray(tv),
+                         batch_argnums=(0, 1) if tv.ndim == 2 else (0,))
+        return TrlweCtxt(prog(self._shard(ct.data),
+                              self._shard(tv) if tv.ndim == 2 else tv,
                               self.keys))
 
     def programmable_bootstrap(self, ct: Ctxt, tv) -> Ctxt:
@@ -322,11 +330,13 @@ class Context:
         blind rotation, sample extract, keyswitch back to lvl0. The output
         encrypts tv[w] (negacyclically -tv[w - N]) where w is the
         modswitched phase window of the input."""
-        prog = self._jit(("pbs_full",),
+        tv = jnp.asarray(tv)
+        prog = self._jit(("pbs_full", tv.ndim),
                          lambda x, t, keys: B.programmable_bootstrap(
                              x, t, keys, self.params, self.backend),
-                         batch_argnums=(0,))
-        return Ctxt(prog(self._shard(ct.data), jnp.asarray(tv),
+                         batch_argnums=(0, 1) if tv.ndim == 2 else (0,))
+        return Ctxt(prog(self._shard(ct.data),
+                         self._shard(tv) if tv.ndim == 2 else tv,
                          self.keys), 0)
 
     def sample_extract_and_keyswitch(self, tr: TrlweCtxt) -> Ctxt:

@@ -49,12 +49,13 @@ def allocate_slots(sched: Schedule) -> Dict[int, int]:
 
     The dense [num_wires, B, width] register file does not scale (a Bristol
     AES-128 netlist is ~36k wires; at B=1024 that is ~90 GB). The scheduler
-    already levelizes, so a wire's slot can be recycled after the level of
-    its last read: within one executed level every gather happens before any
-    scatter (run_schedule builds all updates, then writes), making it safe
-    for a level's outputs to reuse slots freed by that same level's operand
-    reads. Returns the wire->slot map; the register file needs
-    max(slot)+1 = peak-liveness slots instead of num_wires.
+    already levelizes, so a wire's slot can be recycled once its last read
+    has executed — but NOT within that same level: the executor applies
+    each fused group program in-place (donated register file), so slots
+    freed by level L's reads only become allocatable at L+1 (see the
+    comment in the allocation loop below). Returns the wire->slot map; the
+    register file needs max(slot)+1 = peak-liveness slots instead of
+    num_wires.
     """
     last_read: Dict[int, int] = {}
     for lvl, groups in enumerate(sched.levels, start=1):
@@ -324,6 +325,14 @@ def precompile_schedule(ctx: Context, sched: Schedule, batch: int,
     mu = lvlp.mu
     slot = allocate_slots(sched)
     num_slots = max(slot.values()) + 1 if slot else 1
+    if 0 < sched.num_gates <= _fuse_max():
+        # mirror run_schedule's dispatch: small circuits run as ONE fused
+        # program — warm that, not step shapes it will never use
+        prog = _fused_program(ctx, sched, batch, level, slot, mu)
+        regs = jnp.zeros((num_slots, batch, width), dtype=U32)
+        outs = prog(regs, ctx.keys)
+        np.asarray(jax.device_get(outs[0, 0, :1]))
+        return 1
     chunk = _exec_chunk(batch)
     plans = _plan_schedule(sched, slot, chunk, mu)
     seen = set()

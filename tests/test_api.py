@@ -148,3 +148,14 @@ def test_gate_chain_heterogeneous(ctx, tiny_key, rng):
     fused = ctx.gate_chain(names, a, b)
     assert np.array_equal(np.asarray(jax.device_get(cur.data)),
                           np.asarray(jax.device_get(fused.data)))
+
+
+def test_gate_chain_requires_depth_for_single_name(tiny_key, rng):
+    from cufhe_tpu.models.api import Context, encrypt_bits
+
+    sk, ek = tiny_key
+    ctx = Context(ek)
+    a = encrypt_bits([1, 0], sk, rng)
+    b = encrypt_bits([1, 1], sk, rng)
+    with pytest.raises(ValueError, match="depth is required"):
+        ctx.gate_chain("nand", a, b)

@@ -108,3 +108,19 @@ def test_data_parallel_preserves_output_sharding(pallas_key, rng):
     ref = np.stack([G.gate_lvl0("nand", np.asarray(a)[i], np.asarray(b)[i],
                                 ek) for i in range(8)])
     assert np.array_equal(np.asarray(out), ref)
+
+
+def test_pbs_per_batch_tv_sharded_matches_unsharded(pallas_key, rng):
+    """A per-batch test vector ([B, N]) must shard WITH the ciphertext
+    batch under a mesh Context; sharded == unsharded bit-exact."""
+    sk, ek = pallas_key
+    p = sk.params
+    B = 16
+    bits = rng.integers(0, 2, B)
+    cts = encrypt_bits(bits, sk, rng)
+    tvs = rng.integers(0, 1 << 32, (B, p.lvl1.n),
+                       dtype=np.uint64).astype(np.uint32)
+    plain = Context(ek).pbs_tlwe2trlwe(cts, tvs)
+    mesh = Context(ek, mesh=data_mesh()).pbs_tlwe2trlwe(cts, tvs)
+    assert np.array_equal(np.asarray(jax.device_get(plain.data)),
+                          np.asarray(jax.device_get(mesh.data)))
