@@ -11,7 +11,9 @@ counts it, test_gate_gpu.cc:43).
 Env: PROC_BATCH (default 256), PROC_CYCLES (default 4),
      PROC_PARAMS (default tfhepp_128bit), PROC_FUSED=1 to evaluate each
      cycle as ONE whole-circuit XLA program instead of the level-step
-     executor (one 296-bootstrap program: lower dispatch, heavier compile).
+     executor (one 296-bootstrap program: lower dispatch, heavier compile),
+     PROC_SCAN=1 to run the ENTIRE multi-cycle execution as one scanned
+     program (run_schedule_loop: one dispatch per run — the latency path).
 Run: python benchmarks/processor.py
 """
 from __future__ import annotations
@@ -44,7 +46,8 @@ def main() -> None:
     cycles = int(os.environ.get("PROC_CYCLES", "4"))
     pname = os.environ.get("PROC_PARAMS", "tfhepp_128bit")
     fused = os.environ.get("PROC_FUSED", "0") == "1"
-    if not fused:
+    scan = os.environ.get("PROC_SCAN", "0") == "1"
+    if not (fused or scan):
         # the 296-gate cycle is under the whole-circuit fusion threshold,
         # but a one-program-per-cycle HLO carries ~470 blind rotations —
         # default to the proven level-step executor and precompile it
@@ -66,7 +69,12 @@ def main() -> None:
     inputs = TOY.encrypt_state(progs, sk, rng)
 
     tc = time.perf_counter()
-    n_progs = precompile_schedule(ctx, sched, batch)
+    if scan:
+        # warm the one scanned whole-run program (untimed)
+        TOY.run_cycles(ctx, sched, inputs, cycles, scan=True)
+        n_progs = 1
+    else:
+        n_progs = precompile_schedule(ctx, sched, batch)
     compile_s = time.perf_counter() - tc
     print(f"precompiled {n_progs} programs in {compile_s:.0f}s",
           file=sys.stderr)
@@ -74,7 +82,7 @@ def main() -> None:
     print(f"stepping {sched.num_gates}-gate cycle circuit x {cycles} "
           f"cycles x batch {batch}...", file=sys.stderr)
     t0 = time.perf_counter()
-    state = TOY.run_cycles(ctx, sched, inputs, cycles)
+    state = TOY.run_cycles(ctx, sched, inputs, cycles, scan=scan)
     _ = [np.asarray(jax.device_get(ct.data)) for ct in state]
     dt = time.perf_counter() - t0
 
@@ -84,6 +92,7 @@ def main() -> None:
 
     rec = {
         "bench": "toy8_processor",
+        "mode": "scan" if scan else ("fused" if fused else "levels"),
         "params": pname,
         "batch": batch,
         "cycles": cycles,

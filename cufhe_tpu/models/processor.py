@@ -194,14 +194,24 @@ def encrypt_state(programs: Sequence[Sequence[Tuple[str, int]]], sk, rng):
     return inputs + state
 
 
-def run_cycles(ctx, sched, inputs, cycles: int):
+def run_cycles(ctx, sched, inputs, cycles: int, scan: bool = False):
     """Run `cycles` processor steps: each cycle's 12 output state bits feed
     back as the next cycle's ACC/PC inputs (ROM ciphertexts are reused).
-    Returns the final [ACC bits + PC bits] Ctxts."""
-    from ..runtime import run_schedule
+    Returns the final [ACC bits + PC bits] Ctxts.
 
-    rom_ins = inputs[:PROG_SLOTS * INSTR_BITS]
-    state = inputs[PROG_SLOTS * INSTR_BITS:]
+    scan=True runs the WHOLE multi-cycle execution as one compiled program
+    (runtime.run_schedule_loop: lax.scan over the cycle circuit) — one
+    dispatch per run instead of cycles x levels, the latency path for a
+    sequential encrypted machine."""
+    from ..runtime import run_schedule, run_schedule_loop
+
+    n_state = ACC_BITS + PC_BITS
+    n_rom = PROG_SLOTS * INSTR_BITS
+    if scan:
+        feedback = [(o, n_rom + o) for o in range(n_state)]
+        return run_schedule_loop(ctx, sched, inputs, cycles, feedback)
+    rom_ins = inputs[:n_rom]
+    state = inputs[n_rom:]
     for _ in range(cycles):
         state = run_schedule(ctx, sched, rom_ins + state)
     return state

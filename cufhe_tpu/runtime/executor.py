@@ -380,26 +380,19 @@ def _fuse_max() -> int:
     return int(os.environ.get("CUFHE_FUSE_MAX", "512"))
 
 
-def _fused_program(ctx: Context, sched: Schedule, batch: int, lvl: int,
+def _schedule_body(ctx: Context, sched: Schedule, batch: int, lvl: int,
                    slot: Dict[int, int], mu: int):
-    """One jitted program running the ENTIRE schedule: every level's
-    gather -> fused gate batch -> scatter inlined back-to-back, returning
-    the output rows. Cached per (schedule identity, batch)."""
-    cache = ctx._cache.setdefault("fused_scheds", {})
-    # key by the Schedule OBJECT (identity hash): the strong reference
-    # pins it alive, so the key cannot be reused by a new schedule the
-    # way a bare id() could after garbage collection
-    key = (sched, batch, lvl)
-    if key in cache:
-        return cache[key]
+    """Traceable function (regs, keys) -> regs running the ENTIRE schedule:
+    every level's gather -> fused gate batch -> scatter inlined
+    back-to-back on the register file. Shared by the one-shot fused
+    program and the scanned feedback loop."""
     from ..ops import bootstrap as B
     p, bk = ctx.params, ctx.backend
     gate_fn = B.gate_lvl0 if lvl == 0 else B.gate_lvl1
     mux_fn = B.mux_lvl0 if lvl == 0 else B.mux_lvl1
     plans = _plan_schedule(sched, slot, _exec_chunk(batch), mu)
-    out_rows = np.asarray([slot[w] for w in sched.outputs], dtype=np.int32)
 
-    def whole(regs, keys):
+    def body(regs, keys):
         S, bsz, width = regs.shape
         for plan in plans:
             for step in plan:
@@ -427,7 +420,27 @@ def _fused_program(ctx: Context, sched: Schedule, batch: int, lvl: int,
                     if neg:
                         vals = jnp.negative(vals)
                     regs = regs.at[outs].set(vals)
-        return regs[out_rows]
+        return regs
+
+    return body
+
+
+def _fused_program(ctx: Context, sched: Schedule, batch: int, lvl: int,
+                   slot: Dict[int, int], mu: int):
+    """One jitted program running the ENTIRE schedule, returning the
+    output rows. Cached per (schedule identity, batch)."""
+    cache = ctx._cache.setdefault("fused_scheds", {})
+    # key by the Schedule OBJECT (identity hash): the strong reference
+    # pins it alive, so the key cannot be reused by a new schedule the
+    # way a bare id() could after garbage collection
+    key = (sched, batch, lvl)
+    if key in cache:
+        return cache[key]
+    body = _schedule_body(ctx, sched, batch, lvl, slot, mu)
+    out_rows = np.asarray([slot[w] for w in sched.outputs], dtype=np.int32)
+
+    def whole(regs, keys):
+        return body(regs, keys)[out_rows]
 
     # no donation: the output ([n_out, B, w]) cannot alias the register
     # file ([S, B, w]), and within one program XLA updates regs in place
@@ -435,6 +448,74 @@ def _fused_program(ctx: Context, sched: Schedule, batch: int, lvl: int,
     prog = jax.jit(whole)
     cache[key] = prog
     return prog
+
+
+def run_schedule_loop(ctx: Context, sched: Schedule, inputs: Sequence[Ctxt],
+                      cycles: int, feedback: Sequence[Tuple[int, int]],
+                      level: int = 0) -> List[Ctxt]:
+    """Run a feedback circuit for `cycles` iterations as ONE compiled
+    program (lax.scan over the whole schedule): each iteration, output
+    `o` feeds input `i` for every (o, i) pair in `feedback`; all other
+    inputs are re-presented unchanged (e.g. an encrypted ROM). Returns the
+    final iteration's outputs.
+
+    This is the latency path for sequential encrypted machines (the TOY8
+    processor: a whole multi-cycle run costs ONE dispatch instead of
+    cycles x levels round trips). Bit-identical to calling run_schedule
+    in a Python loop and copying outputs to inputs. Requires the circuit
+    to be under the fusion threshold (CUFHE_FUSE_MAX) and no mesh."""
+    if ctx.mesh is not None:
+        raise ValueError("run_schedule_loop does not support mesh Contexts")
+    if not 0 < sched.num_gates <= _fuse_max():
+        raise ValueError(f"schedule has {sched.num_gates} gates; the "
+                         f"scanned loop needs 0 < gates <= {_fuse_max()} "
+                         "(CUFHE_FUSE_MAX)")
+    if len(inputs) != len(sched.inputs):
+        raise ValueError(f"circuit has {len(sched.inputs)} inputs, "
+                         f"got {len(inputs)}")
+    n_out = len(sched.outputs)
+    for o, i in feedback:
+        if not (0 <= o < n_out and 0 <= i < len(inputs)):
+            raise ValueError(f"feedback pair {(o, i)} out of range")
+    B, width = inputs[0].data.shape
+    lvl = inputs[0].level
+    for ct in inputs:
+        if ct.data.shape != (B, width) or ct.level != lvl:
+            raise ValueError("all inputs must share shape and level")
+    lvlp = ctx.params.lvl0 if lvl == 0 else ctx.params.lvl1
+    mu = lvlp.mu
+
+    slot = allocate_slots(sched)
+    num_slots = max(slot.values()) + 1 if slot else 1
+    in_rows = np.asarray([slot[w] for w in sched.inputs], dtype=np.int32)
+    out_rows = np.asarray([slot[w] for w in sched.outputs], dtype=np.int32)
+    fb_in = np.asarray([i for _, i in feedback], dtype=np.int32)
+    fb_out = np.asarray([o for o, _ in feedback], dtype=np.int32)
+    consts = [(slot[w], v) for w, v in sched.consts.items()]
+
+    cache = ctx._cache.setdefault("fused_loops", {})
+    key = (sched, B, lvl, cycles, tuple(map(tuple, feedback)))
+    if key not in cache:
+        body = _schedule_body(ctx, sched, B, lvl, slot, mu)
+
+        def loop(planes, keys):
+            def cyc(pl, _):
+                regs = jnp.zeros((num_slots, B, width), dtype=U32)
+                regs = regs.at[jnp.asarray(in_rows)].set(pl)
+                for row, val in consts:
+                    regs = regs.at[row].set(
+                        trivial_ciphertext(val, width - 1, mu, B))
+                regs = body(regs, keys)
+                outs = regs[jnp.asarray(out_rows)]
+                pl = pl.at[jnp.asarray(fb_in)].set(outs[jnp.asarray(fb_out)])
+                return pl, outs
+            _, all_outs = jax.lax.scan(cyc, planes, None, length=cycles)
+            return all_outs[-1]
+
+        cache[key] = jax.jit(loop)
+    planes0 = jnp.stack([ct.data for ct in inputs])
+    outs = cache[key](planes0, ctx.keys)
+    return [Ctxt(outs[i], lvl) for i in range(n_out)]
 
 
 def run_schedule(ctx: Context, sched: Schedule,

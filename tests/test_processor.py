@@ -95,3 +95,23 @@ def test_processor_encrypted(tiny_key, rng):
     acc, pc = TOY.decrypt_state(state, sk)
     for lane, prog in enumerate(progs):
         assert (acc[lane], pc[lane]) == TOY.interpret(prog, 4)
+
+
+def test_processor_scan_matches_loop(tiny_key, rng):
+    """run_cycles(scan=True) — the whole multi-cycle run as ONE compiled
+    program — is bit-identical to the per-cycle loop."""
+    from cufhe_tpu.models.api import Context
+
+    sk, ek = tiny_key
+    ctx = Context(ek)
+    cb, _ = TOY.build_cycle()
+    sched = cb.compile()
+    progs = [PROGRAMS["loop"], PROGRAMS["jz_untaken"]]
+    inputs = TOY.encrypt_state(progs, sk, rng)
+    looped = TOY.run_cycles(ctx, sched, inputs, cycles=3)
+    scanned = TOY.run_cycles(ctx, sched, inputs, cycles=3, scan=True)
+    for a, b in zip(looped, scanned):
+        assert np.array_equal(np.asarray(a.data), np.asarray(b.data))
+    acc, pc = TOY.decrypt_state(scanned, sk)
+    for lane, prog in enumerate(progs):
+        assert (acc[lane], pc[lane]) == TOY.interpret(prog, 3)
