@@ -464,3 +464,34 @@ def test_fused_small_circuit_matches_stepped(tiny_key, rng, monkeypatch):
     for i, out in enumerate(outs_fused):
         got += decrypt_bits(out, sk).astype(int) << i
     assert np.array_equal(got, a_vals + b_vals)
+
+
+def test_run_schedule_loop_with_consts(tiny_key, rng):
+    """Scanned feedback loop over a circuit with const wires: the consts
+    are re-presented every iteration, and the result is bit-identical to
+    the per-cycle run_schedule loop."""
+    from cufhe_tpu.runtime import CircuitBuilder, run_schedule_loop
+
+    sk, ek = tiny_key
+    ctx = Context(ek)
+    cb = CircuitBuilder()
+    sel, x = cb.input(), cb.input()
+    one = cb.const(1)
+    # x' = sel ? (x nand 1) : 1  — feedback on x, sel held
+    y = cb.gate("nand", x, one)
+    cb.output(cb.gate("mux", sel, y, one))
+    s = cb.compile()
+    B = 4
+    sel_bits = np.array([0, 1, 0, 1])
+    x_bits = np.array([0, 0, 1, 1])
+    ins = [encrypt_bits(sel_bits, sk, rng), encrypt_bits(x_bits, sk, rng)]
+    got = run_schedule_loop(ctx, s, ins, cycles=3, feedback=[(0, 1)])
+    # per-cycle reference
+    state = ins[1]
+    for _ in range(3):
+        state = run_schedule(ctx, s, [ins[0], state])[0]
+    assert np.array_equal(np.asarray(got[0].data), np.asarray(state.data))
+    want = x_bits.copy()
+    for _ in range(3):
+        want = np.where(sel_bits == 1, 1 - (want & 1), 1)
+    assert np.array_equal(decrypt_bits(got[0], sk), want)
