@@ -124,3 +124,19 @@ def test_pbs_per_batch_tv_sharded_matches_unsharded(pallas_key, rng):
     mesh = Context(ek, mesh=data_mesh()).pbs_tlwe2trlwe(cts, tvs)
     assert np.array_equal(np.asarray(jax.device_get(plain.data)),
                           np.asarray(jax.device_get(mesh.data)))
+
+
+def test_gate_chain_sharded_matches_unsharded(pallas_key, rng):
+    """Fused dependent chains (lax.scan over the bootstrap) under a mesh
+    Context: sharded == unsharded bit-exact."""
+    sk, ek = pallas_key
+    B = 16
+    bits0 = rng.integers(0, 2, B)
+    bits1 = rng.integers(0, 2, B)
+    a = encrypt_bits(bits0, sk, rng)
+    b = encrypt_bits(bits1, sk, rng)
+    names = ["nand", "xor", "or", "and"]
+    plain = Context(ek).gate_chain(names, a, b)
+    mesh = Context(ek, mesh=data_mesh()).gate_chain(names, a, b)
+    assert np.array_equal(np.asarray(jax.device_get(plain.data)),
+                          np.asarray(jax.device_get(mesh.data)))
