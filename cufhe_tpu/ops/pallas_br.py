@@ -817,9 +817,12 @@ def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             # the staggered schedule needs 6 band buffers + the update
-            # accumulator; 117M measured at the 128-bit set (hard cap 128M)
-            vmem_limit_bytes=(120 if dims["stagger"] or PB
-                              else 110) * 1024 * 1024,
+            # accumulator; 117M measured at the 128-bit set (hard cap 128M).
+            # CUFHE_VMEM_MB overrides for perf A/B (e.g. deeper CUFHE_PEND
+            # placement queues need ~1 MB more than the default budget).
+            vmem_limit_bytes=int(os.environ.get(
+                "CUFHE_VMEM_MB",
+                "120" if dims["stagger"] or PB else "110")) * 1024 * 1024,
         ),
         interpret=interp,
     )(abar, acc_t, wext, *prebands)
