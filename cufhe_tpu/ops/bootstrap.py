@@ -128,8 +128,11 @@ def blind_rotate_acc(acc: jnp.ndarray, a: jnp.ndarray, keys: DeviceKeys,
         I_rows = (lp.k + 1) * lp.l * nd
         if depth >= 1:
             # depth>=1 band scratch is small, but wide leaves (CGGI19's
-            # depth-1 leaf_n=512 at l=3) still blow VMEM at bt=1024
-            fits = I_rows * (lp.n >> depth) <= 2048
+            # depth-1 leaf_n=512 at l=3) or extra digit-limb rows (the
+            # 80-bit set's I=8 at depth 2: measured 139 MB at bt=1024)
+            # still blow VMEM at bt=1024 — 1536 = the 128-bit set's
+            # dec-row budget, the largest measured fit
+            fits = I_rows * (lp.n >> depth) <= 1536
         else:
             fits = I_rows * lp.n <= 4096
         cap = 1024 if (B <= 1024 or fits) else 512

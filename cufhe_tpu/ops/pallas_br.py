@@ -160,16 +160,25 @@ def prepare_prebands(wext, params: GateParams, nlimbs: int = BK_NLIMBS,
 def kar_depth(lp: TrlweParams, nlimbs: int = BK_NLIMBS) -> int:
     """Block-Karatsuba depth for a parameter set.
 
-    Leaf operands sum 2^d gadget digits, so 2^(Bgbit-1) * 2^d must fit
-    int8; leaves must be at least one 128-lane block. With every
-    (component, limb) operator stacked into one MXU dot per leaf, depth 2
-    keeps full MXU efficiency and its 9/16-MAC reduction wins outright
-    (measured 152 ms vs 190 ms per 1024 gates at the 128-bit set).
-    Overridable with CUFHE_KAR_DEPTH (benchmark A/B)."""
+    Leaf operands sum 2^d decomposition digits, so the digit magnitude
+    times 2^d must fit int8; leaves must be at least one 128-lane block.
+    The governing magnitude is the *sub-digit* width dbits from
+    decomp_digit_limb_plan (== Bgbit when digits already fit int8): the
+    digit-limb split of Bg > 256 sets (USE_80BIT_SECURITY's Bg=1024) and
+    the Karatsuba recursion are both exact linear rearrangements mod 2^32
+    and compose — sub-digits |d| < 2^(dbits-1) sum to < 2^(dbits-1+depth),
+    and the pre-scaled generators (prepare_wext) are combined into leaf
+    generators the same way as unscaled ones. With every (component, limb)
+    operator stacked into one MXU dot per leaf, depth 2 keeps full MXU
+    efficiency and its 9/16-MAC reduction wins outright (measured 152 ms
+    vs 190 ms per 1024 gates at the 128-bit set; the 80-bit Bg=1024 set
+    gains the same 9/16 via the composed path). Overridable with
+    CUFHE_KAR_DEPTH (benchmark A/B)."""
     env = os.environ.get("CUFHE_KAR_DEPTH", "")
-    d = min(2, 8 - lp.Bgbit, lp.nbit - 7)
+    dbits = decomp_digit_limb_plan(lp.Bgbit)[1]
+    d = min(2, 8 - dbits, lp.nbit - 7)
     if env:
-        d = min(int(env), 8 - lp.Bgbit, lp.nbit - 7)
+        d = min(int(env), 8 - dbits, lp.nbit - 7)
     if nlimbs < BK_NLIMBS:
         # The dropped-limb error of 'pallas3' multiplies with the Karatsuba
         # digit sums (2^depth): measured phase noise 2^26.8 at depth 2 vs
@@ -326,7 +335,6 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
     # unchanged — dec rows just multiply by nd.
     nd, I, L, leaf_n, OL, GOL, NG = band_grouping(lp, nlimbs, depth)
     dbits = decomp_digit_limb_plan(Bgbit)[1]
-    assert nd == 1 or depth == 0, "digit limbs compose only with depth 0"
     C = BK_COPIES
     R_L = leaf_n // 128
     W_g = 2 * leaf_n                   # leaf band width
@@ -377,8 +385,18 @@ def _make_kernel(params: GateParams, nlimbs: int = BK_NLIMBS,
     # Precomputed band planes are wired into the plain schedule only: the
     # staggered layout's band slots are exactly the work prebands remove,
     # and the two optimizations' VMEM budgets do not compose.
+    # On real TPUs the tile must also be >= 512: the half-tile reads at
+    # lane offset H = b_tile/2 feed dynamic-row loads
+    # (abar_ref[pl.ds(idx, 1), H:]) that Mosaic only compiles at lane
+    # offsets that are multiples of 256 — H = 128 fails with "dynamic
+    # load with unaligned indices" (measured on v5e at batch 256).
+    # Smaller tiles take the plain schedule, which always reads
+    # full-width rows at offset 0. Interpret mode (CPU tests) has no
+    # such limit, so bt=256 keeps covering the staggered code path there.
+    tile_ok = b_tile % 256 == 0 and (
+        b_tile >= 512 or jax.default_backend() != "tpu")
     stagger = (seq is not None and picked is not None and skip_ok
-               and b_tile % 256 == 0 and want_stagger and PB == 0)
+               and tile_ok and want_stagger and PB == 0)
     NBUF, O_ST = picked if stagger else (3, 0)
     # Placement-queue depth (perf A/B): how many issued-but-unplaced dot
     # results ride between the MXU and the VPU placement adds. Correctness
@@ -761,8 +779,6 @@ def blind_rotate_pallas(acc_init: jnp.ndarray, abar: jnp.ndarray,
     Returns [B, k+1, N] uint32.
     """
     lp = params.lvl1
-    if decomp_digit_limb_plan(lp.Bgbit)[0] > 1 and depth > 0:
-        raise NotImplementedError("digit-limb split requires depth 0")
     if lp.n % 128:
         raise NotImplementedError("pallas backend requires N % 128 == 0")
     B = acc_init.shape[0]

@@ -233,7 +233,18 @@ PALLAS_KAR = GateParams(
     ks=KeySwitchParams(t=4, basebit=2),
 )
 
+#: Tiny N=512 / Bg=1024 set exercising the digit-limb split COMPOSED with
+#: block-Karatsuba (the 80-bit set's fast-path shape: nd=2 sub-digits of
+#: dbits=6, depth up to min(2, 8-dbits, nbit-7) = 2).
+PALLAS_BG10_KAR = GateParams(
+    name="pallas-bg10-kar-insecure-test",
+    lvl0=LweParams(n=8, k=1, alpha=0.0, mu=1 << 29),
+    lvl1=TrlweParams(nbit=9, k=1, l=2, Bgbit=10, alpha=0.0, mu=1 << 29),
+    ks=KeySwitchParams(t=4, basebit=2),
+)
+
 PRESETS = {p.name: p for p in (TFHEPP_128, TFHEPP_128_BG8, TFHEPP_80, CGGI19,
                                CONCRETE, TINY, PALLAS_TINY, TINY_K2,
-                               PALLAS_TINY_K2, PALLAS_BG10, PALLAS_KAR)}
+                               PALLAS_TINY_K2, PALLAS_BG10, PALLAS_KAR,
+                               PALLAS_BG10_KAR)}
 DEFAULT = TFHEPP_128

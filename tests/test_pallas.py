@@ -192,10 +192,18 @@ def test_stagger_schedule_safety(monkeypatch):
     # the old code picked and shipped) and NBUF=2.
     seq8, _ = _stagger_seq(8)
     assert not any(_stagger_schedule_ok(8, d, seq8, 8 % d) for d in (4, 2))
-    # Production TFHEPP_80 kernel: staggered via the proven layout.
+    # Production TFHEPP_80 kernel: staggered via the proven layout. Its
+    # digit-limb split now composes with depth-2 Karatsuba (kar_depth = 2,
+    # S = 9 like the 128-bit set); the S = 8 shape remains reachable by
+    # forcing depth 0 and must keep the searched safe layout.
     p = P.TFHEPP_80
+    assert kar_depth(p.lvl1) == 2
     _, meta = _make_kernel(p, BK_NLIMBS, kar_depth(p.lvl1), b_tile=256)
-    assert meta["stagger"] is True and (meta["NBUF"], meta["O"]) == (6, 2)
+    assert meta["stagger"] is True and meta["S"] == 9
+    assert (meta["NBUF"], meta["O"]) == (6, 3)
+    _, meta0 = _make_kernel(p, BK_NLIMBS, 0, b_tile=256)
+    assert meta0["stagger"] is True and meta0["S"] == 8
+    assert (meta0["NBUF"], meta0["O"]) == (6, 2)
     # Large S (e.g. 12) get a proven layout from the extended search
     # rather than a fallback guess.
     seq12, _ = _stagger_seq(12)
@@ -309,6 +317,35 @@ def test_pallas_karatsuba_bitexact(depth, rng, monkeypatch):
     assert np.array_equal(got, want)
     assert [G.decrypt_bit(g, sk) for g in got] == \
         [1 - (a & b) for a, b in zip(bits0, bits1)]
+
+
+@pytest.mark.parametrize("depth", [1, 2])
+def test_pallas_bg10_karatsuba_bitexact(depth, rng, monkeypatch):
+    """Digit-limb split COMPOSED with block-Karatsuba (the 80-bit Bg=1024
+    fast path): both are exact linear rearrangements mod 2^32 — sub-digit
+    leaf sums stay int8 (|d| < 2^(dbits-1) = 32, x 2^depth <= 128) and the
+    pre-scaled generators combine into Karatsuba leaf generators the same
+    way unscaled ones do — so results must stay bit-identical to golden."""
+    monkeypatch.setenv("CUFHE_KAR_DEPTH", str(depth))
+    from cufhe_tpu.ops.limbs import decomp_digit_limb_plan
+    from cufhe_tpu.ops.pallas_br import kar_depth
+    sk = G.keygen(P.PALLAS_BG10_KAR, seed=60 + depth)
+    ek = G.make_eval_key(sk, seed=61 + depth)
+    p = sk.params
+    assert decomp_digit_limb_plan(p.lvl1.Bgbit) == (2, 6)
+    assert kar_depth(p.lvl1) == depth
+    keys = K.prepare_keys(ek, backends=("pallas",))
+    bits0, bits1 = [0, 1, 0, 1], [0, 0, 1, 1]
+    c0 = [G.encrypt_bit(b, sk, rng) for b in bits0]
+    c1 = [G.encrypt_bit(b, sk, rng) for b in bits1]
+    want = np.stack([G.gate_lvl0("xor", a, b, ek) for a, b in zip(c0, c1)])
+    got = np.asarray(B.gate_lvl0(G.GATE_CONSTANTS["xor"],
+                                 jnp.asarray(np.stack(c0)),
+                                 jnp.asarray(np.stack(c1)), keys, p,
+                                 backend="pallas"))
+    assert np.array_equal(got, want)
+    assert [G.decrypt_bit(g, sk) for g in got] == \
+        [a ^ b for a, b in zip(bits0, bits1)]
 
 
 @pytest.mark.parametrize("count", [3, 9])
