@@ -1,0 +1,133 @@
+"""Encrypted-integer benchmark: radix adds via multi-output PBS.
+
+Measures, at a production parameter set on the real TPU:
+  * fused ripple-add throughput (word adds/s and blind rotations/s — the
+    rotation rate should track the headline gate rate, since a full adder
+    is ONE rotation per digit),
+  * empirical digit noise and the implied LUT decision margin (the
+    integer-layer analogue of benchmarks/noise.py),
+  * a chained-add error count (every digit of every chained result
+    verified against the plaintext model).
+
+Usage: python benchmarks/integers.py [--bits 32] [--batch 256] [--chain 4]
+            [--params tfhepp_128bit] [--msg-bits 1] [--backend auto]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon plugin ignores the env var; force CPU before backend init
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+
+def _force(x):
+    import jax
+    return np.asarray(jax.device_get(x))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bits", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--chain", type=int, default=4)
+    ap.add_argument("--params", default="tfhepp_128bit")
+    ap.add_argument("--msg-bits", type=int, default=1)
+    ap.add_argument("--backend", default="auto")
+    args = ap.parse_args()
+
+    import jax
+
+    from _keys import load_or_make_bench_keys
+    from cufhe_tpu import PRESETS
+    from cufhe_tpu import golden as G
+    from cufhe_tpu.models import (Context, IntCodec, IntContext,
+                                  decrypt_uint, encrypt_uint)
+
+    params = PRESETS[args.params]
+    sk, ek = load_or_make_bench_keys(params.name)
+    codec = IntCodec(msg_bits=args.msg_bits)
+    ictx = IntContext(Context(ek, backend=args.backend), codec)
+
+    rng = np.random.default_rng(17)
+    B, bits = args.batch, args.bits
+    D = codec.digits_for(bits)
+    mod = 1 << bits
+    xs = [int(v) for v in rng.integers(0, mod, B, dtype=np.uint64)]
+    ys = [int(v) for v in rng.integers(0, mod, B, dtype=np.uint64)]
+    x = encrypt_uint(xs, bits, sk, codec, rng=rng)
+    y = encrypt_uint(ys, bits, sk, codec, rng=rng)
+
+    # -- throughput: fused ripple add (one dispatch) ---------------------
+    s = ictx.add(x, y)                      # compile + warm
+    _force(s.digits)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        s = ictx.add(x, y)
+    _force(s.digits)
+    dt = (time.perf_counter() - t0) / reps
+    adds_per_s = B / dt
+    rot_per_s = B * D / dt
+
+    # -- noise: output digit phase errors + implied next-add margin ------
+    data = _force(s.digits)
+    want = [(a + b) % mod for a, b in zip(xs, ys)]
+    m = codec.msg_bits
+    errs = []
+    bad = 0
+    for i, row in enumerate(data):
+        for dgt in range(D):
+            ph = int(G.tlwe_phase(row[dgt], sk.lvl0))
+            wv = (want[i] >> (m * dgt)) & (codec.base - 1)
+            diff = (ph - wv * codec.delta) % (1 << 32)
+            if diff >= 1 << 31:
+                diff -= 1 << 32
+            errs.append(diff)
+            got_v = int(round(ph / codec.delta)) % (1 << (codec.buf_bits + 1))
+            bad += int((got_v & (codec.base - 1)) != wv)
+    std = float(np.std(errs))
+    # next-add input = sum of three fresh digits + theta=1 modswitch
+    lp = params.lvl1
+    ms_var = params.lvl0.dim / 2 * (1 << (32 - lp.nbit)) ** 2 / 12
+    sigma_in = float(np.sqrt(3 * std ** 2 + ms_var))
+    margin = (codec.delta / 2) / sigma_in if sigma_in else float("inf")
+
+    # -- chained adds: every digit verified ------------------------------
+    acc_plain = list(xs)
+    acc = x
+    chain_bad = 0
+    for c in range(args.chain):
+        acc = ictx.add(acc, y)
+        acc_plain = [(a + b) % mod for a, b in zip(acc_plain, ys)]
+    got = decrypt_uint(acc, sk)
+    chain_bad = sum(g != w for g, w in zip(got, acc_plain))
+
+    print(json.dumps({
+        "metric": "encrypted_uint_add",
+        "params": params.name, "backend": args.backend,
+        "msg_bits": m, "bits": bits, "batch": B,
+        "adds_per_sec": round(adds_per_s, 1),
+        "rotations_per_sec": round(rot_per_s, 1),
+        "ms_per_add_batch": round(dt * 1e3, 1),
+        "digit_noise_std_log2": round(float(np.log2(std)), 2) if std else None,
+        "digit_errors": bad,
+        "next_add_margin_sigmas": round(margin, 2),
+        "chain_depth": args.chain,
+        "chain_word_errors": chain_bad,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

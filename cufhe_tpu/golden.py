@@ -425,6 +425,65 @@ def programmable_bootstrap(tlwe0: np.ndarray, tv: np.ndarray,
     return key_switch(sample_extract_index0(acc, ek.params.lvl1), ek)
 
 
+def mod_switch_round(phase, nbit: int, theta: int) -> int:
+    """Mod switch rounded to a MULTIPLE of 2^theta windows (the PBSmanyLUT
+    rounding, Chillotti-Ligier-Orfila-Tap): the low theta window bits are
+    zeroed by round-to-nearest, so a blind rotation lands on a
+    2^theta-aligned window and accumulator coefficients j = 0..2^theta-1
+    carry tv[w+j] — independent LUT outputs from ONE rotation. theta = 0
+    reproduces the reference's rounded a-coefficient switch exactly
+    (roundoffset, gatebootstrapping_gpu.cuh:64-66); the reference itself
+    has no multi-output bootstrap."""
+    sh = 32 - 1 - nbit + theta
+    return (((int(phase) + (1 << (sh - 1))) % _MOD) >> sh) << theta
+
+
+def blind_rotate_tv_many(tlwe: np.ndarray, tv: np.ndarray, ek: EvalKey,
+                         theta: int) -> np.ndarray:
+    """Blind rotation with a custom test polynomial and the PBSmanyLUT
+    mod switch (every switched value — b's window included — rounded to a
+    multiple of 2^theta windows). theta=0 differs from blind_rotate_tv
+    only in rounding (vs truncating) b's window."""
+    p = ek.params
+    lp = p.lvl1
+    n0 = p.lvl0.dim
+    bar = (2 * lp.n - mod_switch_round(tlwe[n0], lp.nbit, theta)) \
+        % (2 * lp.n)
+    acc = np.zeros((lp.k + 1, lp.n), dtype=np.uint32)
+    acc[lp.k] = _rotate_by_xai(np.asarray(tv, dtype=np.uint32), bar, lp)
+    for i in range(n0):
+        a_bar = mod_switch_round(tlwe[i], lp.nbit, theta)
+        acc = external_product_accumulate(acc, a_bar, ek.bk[i], lp)
+    return acc
+
+
+def sample_extract_index(trlwe: np.ndarray, p: TrlweParams,
+                         j: int) -> np.ndarray:
+    """__SampleExtractIndex__<P, j> for arbitrary j: rotate by X^{-j}
+    (= X^{2N-j}) and extract index 0 — exact, and the form the device
+    path reuses (the extract-0 permutation is already folded into the
+    KSK)."""
+    rot = np.stack([_rotate_by_xai(trlwe[c], (2 * p.n - j) % (2 * p.n), p)
+                    for c in range(p.k + 1)])
+    return sample_extract_index0(rot, p)
+
+
+def pbs_many(tlwe0: np.ndarray, tv: np.ndarray, J: int, ek: EvalKey,
+             theta: Optional[int] = None) -> np.ndarray:
+    """Multi-output programmable bootstrap (PBSmanyLUT): ONE blind
+    rotation evaluates J interleaved LUTs. With the mod switch rounded to
+    2^theta-aligned windows, coefficient j of the accumulator is exactly
+    tv[w + j], so J extractions (+ key switches) of the same rotation
+    return J independent functions of the input. Returns [J, n0+1]."""
+    if theta is None:
+        theta = (J - 1).bit_length()
+    assert J <= 1 << theta
+    acc = blind_rotate_tv_many(tlwe0, tv, ek, theta)
+    return np.stack([key_switch(
+        sample_extract_index(acc, ek.params.lvl1, j), ek)
+        for j in range(J)])
+
+
 # ---------------------------------------------------------------------------
 # Sample extraction + key switch (bootstrap_gpu.cu:366-381, keyswitch_gpu.cuh)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,452 @@
+"""Encrypted multi-bit integers on programmable bootstrapping.
+
+Beyond-parity layer (the reference is gate-only; its intended workloads —
+kvsp processors, adders — are built from 10+ gate bootstraps per arithmetic
+bit). Here an integer is a little-endian vector of radix-2^m *digits*, each
+a lvl0 TLWE encrypting value v in [0, 2^m) at phase v*Delta:
+
+    Delta = 2^32 / 2^(b+1),  b = buf_bits = msg_bits + 1
+
+The extra buffer bit b > m holds carries ACCUMULATED LINEARLY (ciphertext
+adds are free and exact on the torus), and the top "padding" bit keeps every
+legal phase in [0, 2^31) so a negacyclic LUT is single-valued. A full adder
+is then ONE blind rotation via the multi-output bootstrap (ops.bootstrap.
+pbs_many): t = x_d + y_d + carry is a plain ciphertext sum, and the sum
+digit (t mod 2^m) and carry digit (t >> m) come out of the same rotation as
+two interleaved LUTs. Compare ~5 gate bootstraps per full-adder bit in the
+reference's own netlist model (test/ circuits) — and 2 per bit for MUX-based
+adders — vs 1/(msg_bits) rotations per bit here.
+
+Noise budget (the decision margin of a LUT slot is Delta/2): an adder input
+is at worst the sum of three fresh bootstrap outputs, std sqrt(3)*sigma_pbs,
+plus the theta=1 mod-switch rounding. At the TFHEpp 128-bit set
+(sigma_pbs ~ 2^24.85 measured, benchmarks/noise.py):
+
+    msg_bits=1 (b=2): Delta/2 = 2^28 -> ~4.6 sigma  (production-viable)
+    msg_bits=2 (b=3): Delta/2 = 2^27 -> ~2.3 sigma  (EXPERIMENTAL: percent-
+                       level per-digit error; use for demos/short circuits)
+
+benchmarks/integers.py measures both margins empirically; all ops here are
+uint32-exact vs golden.pbs_many (noise is in the ciphertexts, not the
+implementation).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import golden as G
+from ..ops import bootstrap as B
+from .api import Context, Ctxt
+
+U32 = jnp.uint32
+_MOD = 1 << 32
+
+
+@dataclasses.dataclass(frozen=True)
+class IntCodec:
+    """Digit encoding: msg_bits per digit, one carry-buffer bit, one
+    padding bit. buf_bits defaults to msg_bits + 1 (exactly the headroom
+    a ripple full adder needs: x + y + carry <= 2^(m+1) - 1)."""
+    msg_bits: int = 1
+    buf_bits: Optional[int] = None
+
+    def __post_init__(self):
+        if self.buf_bits is None:
+            object.__setattr__(self, "buf_bits", self.msg_bits + 1)
+        assert self.buf_bits >= self.msg_bits + 1
+
+    @property
+    def base(self) -> int:
+        return 1 << self.msg_bits
+
+    @property
+    def delta(self) -> int:
+        return 1 << (31 - self.buf_bits)
+
+    def digits_for(self, bits: int) -> int:
+        return -(-bits // self.msg_bits)
+
+
+@dataclasses.dataclass
+class IntCtxt:
+    """A batch of encrypted unsigned integers: digits [B, D, n0+1] uint32,
+    little-endian radix-2^msg_bits. Digits are always *clean* (fresh from
+    encryption or a bootstrap, value < 2^msg_bits)."""
+    digits: jnp.ndarray
+    codec: IntCodec
+
+    @property
+    def batch(self) -> int:
+        return self.digits.shape[0]
+
+    @property
+    def ndigits(self) -> int:
+        return self.digits.shape[1]
+
+    @property
+    def bits(self) -> int:
+        return self.ndigits * self.codec.msg_bits
+
+
+# ---------------------------------------------------------------------------
+# Test-polynomial (LUT) construction
+# ---------------------------------------------------------------------------
+
+def build_tv(outs: Sequence[np.ndarray], buf_bits: int, N: int) -> np.ndarray:
+    """Interleave J LUTs into one test polynomial for pbs_many.
+
+    outs: J arrays of 2^buf_bits uint32 torus outputs. Slot geometry:
+    value v sits at phase v*Delta -> windows [v*dw - dw/2, v*dw + dw/2)
+    with dw = N >> buf_bits coefficients per slot; tv[x] = outs[x % J][v(x)]
+    so extraction at coefficient j (window w + j, w 2^theta-aligned) reads
+    LUT j. The tail x >= N - dw/2 is the negacyclic wrap of v=0's negative
+    noise lobe: extraction negates there, so it stores -outs[j][0]."""
+    J = len(outs)
+    dw = N >> buf_bits
+    assert dw >= 2 * J, (dw, J, "LUT slots too narrow for interleaving")
+    x = np.arange(N)
+    v = (x + dw // 2) // dw                     # 0 .. 2^buf_bits
+    nslots = 1 << buf_bits
+    tv = np.zeros(N, dtype=np.uint32)
+    for j in range(J):
+        o = np.asarray(outs[j], dtype=np.uint32)
+        assert o.shape == (nslots,)
+        col = np.where(v < nslots, o[np.minimum(v, nslots - 1)],
+                       (-o[0].astype(np.int64)) % _MOD).astype(np.uint32)
+        sel = (x % J) == j
+        tv[sel] = col[sel]
+    return tv
+
+
+def _enc_vals(vals: np.ndarray, codec: IntCodec) -> np.ndarray:
+    return ((np.asarray(vals, dtype=np.uint64) * codec.delta) % _MOD).astype(
+        np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Client side
+# ---------------------------------------------------------------------------
+
+def encrypt_uint(values: Sequence[int], bits: int, sk: G.SecretKey,
+                 codec: IntCodec = IntCodec(),
+                 rng: Optional[np.random.Generator] = None) -> IntCtxt:
+    """Encrypt a batch of unsigned integers (client side)."""
+    rng = rng or np.random.default_rng()
+    D = codec.digits_for(bits)
+    m = codec.msg_bits
+    digs = np.array([[(int(val) >> (m * d)) & (codec.base - 1)
+                      for d in range(D)] for val in values],
+                    dtype=np.uint32)                        # [B, D]
+    mus = _enc_vals(digs, codec).reshape(-1)
+    cts = G.tlwe_encrypt_batch(mus, sk.lvl0, sk.params.lvl0.alpha, rng)
+    return IntCtxt(jnp.asarray(cts.reshape(len(values), D, -1)), codec)
+
+
+def decrypt_uint(x: IntCtxt, sk: G.SecretKey) -> list:
+    """Decrypt a batch of encrypted integers (client side)."""
+    data = np.asarray(jax.device_get(x.digits))
+    codec = x.codec
+    m = codec.msg_bits
+    out = []
+    for row in data:
+        val = 0
+        for d, ct in enumerate(row):
+            ph = int(G.tlwe_phase(ct, sk.lvl0))
+            v = int(round(ph / codec.delta)) % (1 << (codec.buf_bits + 1))
+            val += (v & (codec.base - 1)) << (m * d)
+        out.append(val)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Server side
+# ---------------------------------------------------------------------------
+
+class IntContext:
+    """Server-side encrypted-integer evaluator over a gate Context.
+
+    Every method is one (or a few) jitted programs cached per shape; the
+    per-digit carry chain of add/sub runs as a lax.scan INSIDE one program
+    (one dispatch per whole addition, like Context.gate_chain). Mesh
+    sharding rides the wrapped Context's mesh (digit arrays are
+    batch-leading)."""
+
+    def __init__(self, ctx: Context, codec: IntCodec = IntCodec()):
+        self.ctx = ctx
+        self.codec = codec
+        p = ctx.params
+        N = p.lvl1.n
+        m, b = codec.msg_bits, codec.buf_bits
+        d = codec.delta
+        vs = np.arange(1 << b)
+        #: full-adder LUT pair: sum digit + carry from one rotation
+        self._tv_add = jnp.asarray(build_tv(
+            [_enc_vals(vs & (codec.base - 1), codec),
+             _enc_vals(vs >> m, codec)], b, N))
+        #: "differs" indicator: t = x + comp(y) == 2^m-1 iff x == y
+        self._tv_ne = jnp.asarray(build_tv(
+            [_enc_vals((vs != codec.base - 1).astype(np.uint32), codec)],
+            b, N))
+        #: OR of two {0,1} digits (t = u + v in {0,1,2})
+        self._tv_or = jnp.asarray(build_tv(
+            [_enc_vals((vs >= 1).astype(np.uint32), codec)], b, N))
+        #: bivariate AND of two 1-bit digits (t = u + v == 2)
+        self._tv_and2 = jnp.asarray(build_tv(
+            [_enc_vals((vs >= 2).astype(np.uint32), codec)], b, N))
+
+    # -- helpers ---------------------------------------------------------
+    def _check(self, *xs: IntCtxt):
+        for x in xs[1:]:
+            if x.codec != xs[0].codec or x.digits.shape != xs[0].digits.shape:
+                raise ValueError("operand codec/shape mismatch")
+        if xs[0].codec != self.codec:
+            raise ValueError("ciphertext codec differs from context codec")
+
+    def trivial_uint(self, values: Sequence[int], bits: int) -> IntCtxt:
+        """Noiseless server-side constants (trivial ciphertexts)."""
+        codec = self.codec
+        D = codec.digits_for(bits)
+        m = codec.msg_bits
+        n0 = self.ctx.params.lvl0.dim
+        digs = np.array([[(int(v) >> (m * d)) & (codec.base - 1)
+                          for d in range(D)] for v in values])
+        data = np.zeros((len(values), D, n0 + 1), dtype=np.uint32)
+        data[:, :, n0] = _enc_vals(digs, codec)
+        return IntCtxt(jnp.asarray(data), codec)
+
+    def _trivial_digit(self, B: int, value: int) -> jnp.ndarray:
+        n0 = self.ctx.params.lvl0.dim
+        row = np.zeros(n0 + 1, dtype=np.uint32)
+        row[n0] = (value * self.codec.delta) % _MOD
+        return jnp.broadcast_to(jnp.asarray(row), (B, n0 + 1))
+
+    def _comp_digits(self, y: jnp.ndarray) -> jnp.ndarray:
+        """Digitwise (2^m - 1) - v: ciphertext negation + constant — exact,
+        noise-preserving (the two's-complement step of sub)."""
+        n0 = self.ctx.params.lvl0.dim
+        cmax = U32(((self.codec.base - 1) * self.codec.delta) % _MOD)
+        out = jnp.negative(y)
+        return out.at[..., n0].add(cmax)
+
+    # -- add / sub -------------------------------------------------------
+    def _add_prog(self):
+        p, bk = self.ctx.params, self.ctx.backend
+        n0 = p.lvl0.dim
+
+        def run(xd, yd, cin, tv, keys):
+            xt = jnp.moveaxis(xd, 1, 0)            # [D, B, n0+1]
+            yt = jnp.moveaxis(yd, 1, 0)
+            # trivial carry-in built ON DEVICE from the scalar: a host-built
+            # c0 would ship [B, n0+1] through the tunnel on every dispatch
+            c0 = jnp.zeros((xd.shape[0], n0 + 1), U32).at[:, n0].set(
+                cin * U32(self.codec.delta))
+
+            def body(c, ab):
+                a, b_ = ab
+                t = a + b_ + c                     # linear: digit sum fits b
+                sc = B.pbs_many(t, tv, 2, keys, p, bk, theta=1)
+                return sc[1], sc[0]                # carry out, sum digit
+
+            cout, sums = jax.lax.scan(body, c0, (xt, yt))
+            return jnp.moveaxis(sums, 0, 1), cout
+
+        return run
+
+    def add_full(self, x: IntCtxt, y: IntCtxt,
+                 carry_in: int = 0) -> tuple:
+        """Ripple add, ONE dispatch: returns (sum, carry_digit). The carry
+        digit is a clean {0,1} digit ciphertext [B, n0+1] (the overflow
+        bit; feed to digit_to_bool for the gate domain)."""
+        self._check(x, y)
+        prog = self.ctx._jit(("int_add", self.codec), self._add_prog(),
+                             batch_argnums=(0, 1))
+        sums, cout = prog(x.digits, y.digits, U32(carry_in), self._tv_add,
+                          self.ctx.keys)
+        return IntCtxt(sums, self.codec), cout
+
+    def add(self, x: IntCtxt, y: IntCtxt) -> IntCtxt:
+        """x + y mod 2^bits (wrapping)."""
+        return self.add_full(x, y)[0]
+
+    def sub_full(self, x: IntCtxt, y: IntCtxt) -> tuple:
+        """x - y via two's complement: (difference, ge_digit) where
+        ge_digit is the final carry — a clean {0,1} digit encrypting
+        x >= y."""
+        self._check(x, y)
+        prog = self.ctx._jit(("int_sub", self.codec), self._sub_prog(),
+                             batch_argnums=(0, 1))
+        sums, cout = prog(x.digits, y.digits, U32(1), self._tv_add,
+                          self.ctx.keys)
+        return IntCtxt(sums, self.codec), cout
+
+    def _sub_prog(self):
+        base = self._add_prog()
+
+        def run(xd, yd, c0, tv, keys):
+            return base(xd, self._comp_digits(yd), c0, tv, keys)
+
+        return run
+
+    def sub(self, x: IntCtxt, y: IntCtxt) -> IntCtxt:
+        return self.sub_full(x, y)[0]
+
+    def add_scalar(self, x: IntCtxt, value: int) -> IntCtxt:
+        return self.add(x, self.trivial_uint([value] * x.batch, x.bits))
+
+    def sub_scalar(self, x: IntCtxt, value: int) -> IntCtxt:
+        return self.sub(x, self.trivial_uint([value] * x.batch, x.bits))
+
+    def neg(self, x: IntCtxt) -> IntCtxt:
+        """Two's-complement negation mod 2^bits."""
+        return self.sub(self.trivial_uint([0] * x.batch, x.bits), x)
+
+    # -- comparisons -----------------------------------------------------
+    def digit_to_bool(self, digit: jnp.ndarray) -> Ctxt:
+        """{0,1} digit -> gate-domain bool (phase +-mu0): a pure linear
+        rescale, p' = 2^(b-1) * p - mu0 (noise x 2^(b-1))."""
+        p = self.ctx.params
+        n0 = p.lvl0.dim
+        out = digit * U32(1 << (self.codec.buf_bits - 1))
+        out = out.at[..., n0].add(U32((-p.lvl0.mu) % _MOD))
+        return Ctxt(out, 0)
+
+    def bool_to_digit(self, ct: Ctxt) -> jnp.ndarray:
+        """Gate-domain bool -> clean {0,1} digit (one bootstrap: sign LUT
+        delta/2, then +delta/2)."""
+        p, bk = self.ctx.params, self.ctx.backend
+        half = self.codec.delta // 2
+        tv = jnp.full((p.lvl1.n,), U32(half))
+
+        def run(c, t, keys):
+            out = B.programmable_bootstrap(c, t, keys, p, bk)
+            return out.at[:, p.lvl0.dim].add(U32(half))
+
+        prog = self.ctx._jit(("int_frombool", self.codec), run,
+                             batch_argnums=(0,))
+        return prog(ct.data, tv, self.ctx.keys)
+
+    def ge(self, x: IntCtxt, y: IntCtxt) -> Ctxt:
+        """x >= y as a gate-domain bool (cost: one sub)."""
+        return self.digit_to_bool(self.sub_full(x, y)[1])
+
+    def lt(self, x: IntCtxt, y: IntCtxt) -> Ctxt:
+        out = self.ge(x, y)
+        return Ctxt(jnp.negative(out.data), 0)
+
+    def eq(self, x: IntCtxt, y: IntCtxt) -> Ctxt:
+        """x == y as a gate-domain bool, ONE dispatch: per-digit "differs"
+        indicators (one rotation each, all digits batched) + an OR tree of
+        bivariate rotations + a linear NOT."""
+        self._check(x, y)
+        p, bk = self.ctx.params, self.ctx.backend
+        n0 = p.lvl0.dim
+        d = U32(self.codec.delta)
+
+        def run(xd, yd, tv_ne, tv_or, keys):
+            Bt, D = xd.shape[0], xd.shape[1]
+            t = (xd + self._comp_digits(yd)).reshape(Bt * D, n0 + 1)
+            ind = B.pbs_many(t, tv_ne, 1, keys, p, bk,
+                             theta=0)[0].reshape(Bt, D, n0 + 1)
+            cols = [ind[:, i] for i in range(D)]
+            while len(cols) > 1:                   # OR tree
+                nxt = []
+                pairs = []
+                for i in range(0, len(cols) - 1, 2):
+                    pairs.append(cols[i] + cols[i + 1])
+                if len(cols) % 2:
+                    nxt.append(cols[-1])
+                if pairs:
+                    tt = jnp.concatenate(pairs, axis=0)
+                    ors = B.pbs_many(tt, tv_or, 1, keys, p, bk, theta=0)[0]
+                    nxt = list(ors.reshape(len(pairs), Bt, n0 + 1)) + nxt
+                cols = nxt
+            ne = cols[0]
+            eq_digit = jnp.negative(ne).at[:, n0].add(d)   # 1 - v
+            return eq_digit
+
+        prog = self.ctx._jit(("int_eq", self.codec, x.ndigits), run,
+                             batch_argnums=(0, 1))
+        return self.digit_to_bool(prog(x.digits, y.digits, self._tv_ne,
+                                       self._tv_or, self.ctx.keys))
+
+    def eq_scalar(self, x: IntCtxt, value: int) -> Ctxt:
+        return self.eq(x, self.trivial_uint([value] * x.batch, x.bits))
+
+    # -- LUTs and structure ----------------------------------------------
+    def apply_lut(self, x: IntCtxt, table: Sequence[int]) -> IntCtxt:
+        """Digitwise LUT: out_d = table[x_d] (one rotation per digit, all
+        digits of the batch in one dispatch)."""
+        self._check(x)
+        codec = self.codec
+        assert len(table) == codec.base
+        p, bk = self.ctx.params, self.ctx.backend
+        n0 = p.lvl0.dim
+        vs = np.arange(1 << codec.buf_bits)
+        outs = _enc_vals(np.asarray(table, dtype=np.uint64)[
+            vs % codec.base], codec)
+        tv = jnp.asarray(build_tv([outs], codec.buf_bits, p.lvl1.n))
+
+        def run(xd, t, keys):
+            Bt, D = xd.shape[0], xd.shape[1]
+            flat = xd.reshape(Bt * D, n0 + 1)
+            out = B.pbs_many(flat, t, 1, keys, p, bk, theta=0)[0]
+            return out.reshape(Bt, D, n0 + 1)
+
+        prog = self.ctx._jit(("int_lut", self.codec), run,
+                             batch_argnums=(0,))
+        return IntCtxt(prog(x.digits, tv, self.ctx.keys), codec)
+
+    def shift_digits(self, x: IntCtxt, by: int) -> IntCtxt:
+        """Shift by whole digits (left = towards high digits); vacated
+        digits are trivial zeros. Free (no bootstraps)."""
+        B_, D = x.batch, x.ndigits
+        zero = self._trivial_digit(B_, 0)[:, None, :]
+        if by >= 0:
+            pads = jnp.broadcast_to(zero, (B_, min(by, D),
+                                           zero.shape[-1]))
+            kept = x.digits[:, :max(D - by, 0)]
+        else:
+            pads = jnp.broadcast_to(zero, (B_, min(-by, D),
+                                           zero.shape[-1]))
+            kept = x.digits[:, min(-by, D):]
+            return IntCtxt(jnp.concatenate([kept, pads], axis=1), x.codec)
+        return IntCtxt(jnp.concatenate([pads, kept], axis=1), x.codec)
+
+    def mul(self, x: IntCtxt, y: IntCtxt) -> IntCtxt:
+        """Schoolbook product (full 2*bits width). msg_bits=1 only:
+        partial-product rows are bivariate AND rotations (one batched
+        dispatch per row), accumulated with fused ripple adds — ~3*D^2
+        rotations per product vs ~6*D^2 gate bootstraps for the netlist
+        multiplier."""
+        self._check(x, y)
+        if self.codec.msg_bits != 1:
+            raise NotImplementedError("mul is implemented for msg_bits=1")
+        p, bk = self.ctx.params, self.ctx.backend
+        n0 = p.lvl0.dim
+        D = x.ndigits
+
+        def pp_row(xd, yr, tv, keys):
+            Bt = xd.shape[0]
+            t = (xd + yr[:, None, :]).reshape(Bt * D, n0 + 1)
+            out = B.pbs_many(t, tv, 1, keys, p, bk, theta=0)[0]
+            return out.reshape(Bt, D, n0 + 1)
+
+        prog = self.ctx._jit(("int_pp", self.codec), pp_row,
+                             batch_argnums=(0, 1))
+        acc = self.trivial_uint([0] * x.batch, 2 * x.bits)
+        zero = self._trivial_digit(x.batch, 0)[:, None, :]
+        for r in range(D):
+            row = prog(x.digits, y.digits[:, r], self._tv_and2,
+                       self.ctx.keys)
+            pads_lo = jnp.broadcast_to(zero, (x.batch, r, zero.shape[-1]))
+            pads_hi = jnp.broadcast_to(zero, (x.batch, D - r,
+                                              zero.shape[-1]))
+            shifted = IntCtxt(jnp.concatenate([pads_lo, row, pads_hi],
+                                              axis=1), self.codec)
+            acc = self.add(acc, shifted)
+        return acc

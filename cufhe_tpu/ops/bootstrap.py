@@ -31,6 +31,15 @@ def _mod_switch(phase: jnp.ndarray, nbit: int) -> jnp.ndarray:
     return phase >> U32(32 - 1 - nbit)
 
 
+def _mod_switch_round(phase: jnp.ndarray, nbit: int,
+                      theta: int) -> jnp.ndarray:
+    """Mod switch rounded to a multiple of 2^theta windows (PBSmanyLUT;
+    golden.mod_switch_round). theta=0 equals the reference's rounded
+    a-coefficient switch (_mod_switch(x + roundoffset))."""
+    sh = 32 - 1 - nbit + theta
+    return ((phase + U32(1 << (sh - 1))) >> U32(sh)) << U32(theta)
+
+
 def resolve_backend(backend: str, params: GateParams) -> str:
     """'auto' -> the fused Pallas kernel when shapes allow, else XLA conv."""
     if backend != "auto":
@@ -78,40 +87,57 @@ def blind_rotate(a: jnp.ndarray, b: jnp.ndarray, mu: int, keys: DeviceKeys,
 
 def blind_rotate_tv(a: jnp.ndarray, b: jnp.ndarray, tv: jnp.ndarray,
                     keys: DeviceKeys, params: GateParams,
-                    backend: str = "auto") -> jnp.ndarray:
+                    backend: str = "auto",
+                    theta: Optional[int] = None) -> jnp.ndarray:
     """Blind rotation with a CUSTOM test polynomial — the core of
     programmable (functional) bootstrapping. `tv` is [N] or [B, N] uint32:
     the returned TRLWE's constant slot carries tv evaluated at the
     modswitched input phase (negacyclic: windows N..2N-1 see -tv). The
     constant-mu gate test vector (batched_test_vector) is the special case
-    tv = mu * (1, 1, ..., 1)."""
+    tv = mu * (1, 1, ..., 1).
+
+    theta (None = legacy truncating switch for b) selects the PBSmanyLUT
+    rounded mod switch: every switched window — b's included — is rounded
+    to a multiple of 2^theta windows (golden.blind_rotate_tv_many)."""
     lp = params.lvl1
     B = a.shape[0]
-    bar = U32(2 * lp.n) - _mod_switch(b, lp.nbit)
+    if theta is None:
+        bar = U32(2 * lp.n) - _mod_switch(b, lp.nbit)
+    else:
+        bar = U32(2 * lp.n) - _mod_switch_round(b, lp.nbit, theta)
     acc0 = jnp.zeros((B, lp.k + 1, lp.n), U32).at[:, lp.k, :].set(
         jnp.broadcast_to(jnp.asarray(tv, U32), (B, lp.n)))
     # bar == 2N (b = 0) wraps to rotation 0 — the reference's special case
     # (gatebootstrapping_gpu.cuh:33-37) falls out of the masked form
     acc = rotate_by_xai(acc0, bar & U32(2 * lp.n - 1), lp)
-    return blind_rotate_acc(acc, a, keys, params, backend)
+    return blind_rotate_acc(acc, a, keys, params, backend, theta=theta)
 
 
 def blind_rotate_acc(acc: jnp.ndarray, a: jnp.ndarray, keys: DeviceKeys,
-                     params: GateParams,
-                     backend: str = "auto") -> jnp.ndarray:
+                     params: GateParams, backend: str = "auto",
+                     theta: Optional[int] = None) -> jnp.ndarray:
     """The n0-iteration CMUX accumulator loop from an explicit initial
-    accumulator [B, k+1, N] (the rotated test vector)."""
+    accumulator [B, k+1, N] (the rotated test vector).
+
+    theta > 0 rounds each a-coefficient's switched window to a multiple of
+    2^theta windows (PBSmanyLUT); theta in (None, 0) is the reference's
+    rounded switch (identical results — the roundoffset IS the theta=0
+    rounding)."""
     backend = resolve_backend(backend, params)
     lp = params.lvl1
     n0 = params.lvl0.dim
     roundoffset = U32(1 << (32 - 2 - lp.nbit))
+    if theta:
+        _msw = lambda x: _mod_switch_round(x, lp.nbit, theta)  # noqa: E731
+    else:
+        _msw = lambda x: _mod_switch(x + roundoffset, lp.nbit)  # noqa: E731
 
     if backend.startswith("pallas"):
         from .limbs import decomp_digit_limb_plan
         from .pallas_br import BK_NLIMBS, blind_rotate_pallas, kar_depth
         nlimbs = 3 if backend == "pallas3" else BK_NLIMBS
         depth = kar_depth(lp, nlimbs)
-        abar = _mod_switch(a + roundoffset, lp.nbit).T    # [n0, B]
+        abar = _msw(a).T                                  # [n0, B]
         # pad to >= n0+3 rows: the staggered kernel's software pipeline
         # prefetches rotate/decompose up to two iterations past the end
         # (reads masked to zero)
@@ -163,7 +189,7 @@ def blind_rotate_acc(acc: jnp.ndarray, a: jnp.ndarray, keys: DeviceKeys,
 
         def ntt_body(i, acc):
             a_i = lax.dynamic_index_in_dim(a, i, axis=1, keepdims=False)
-            a_bar = _mod_switch(a_i + roundoffset, lp.nbit)
+            a_bar = _msw(a_i)
             dec = decompose_rotate_sub(acc, a_bar, lp)   # [B, I, N] int32
             dmod = jnp.where(dec < 0, dec + jnp.int32(P), dec).astype(U32)
             dntt = ntt_forward(dmod, tabs)
@@ -184,7 +210,7 @@ def blind_rotate_acc(acc: jnp.ndarray, a: jnp.ndarray, keys: DeviceKeys,
 
     def body(i, acc):
         a_i = lax.dynamic_index_in_dim(a, i, axis=1, keepdims=False)
-        a_bar = _mod_switch(a_i + roundoffset, lp.nbit)
+        a_bar = _msw(a_i)
         dec = decompose_rotate_sub(acc, a_bar, lp)
         src = keys.bk_limbs if backend == "toeplitz" else keys.bk_filters
         key = "limbs" if backend == "toeplitz" else "filters"
@@ -374,3 +400,37 @@ def programmable_bootstrap(tlwe0: jnp.ndarray, tv: jnp.ndarray,
     -tv[w - N]) where w is the modswitched input phase window."""
     acc = pbs_tlwe2trlwe(tlwe0, tv, keys, params, backend)
     return sei_and_ks(acc, keys, params)
+
+
+def pbs_many(tlwe0: jnp.ndarray, tv: jnp.ndarray, J: int, keys: DeviceKeys,
+             params: GateParams, backend: str = "auto",
+             theta: Optional[int] = None) -> jnp.ndarray:
+    """Multi-output programmable bootstrap (PBSmanyLUT): ONE blind
+    rotation evaluates J interleaved LUTs per ciphertext.
+
+    The mod switch is rounded to multiples of 2^theta windows
+    (_mod_switch_round), so accumulator coefficient j is exactly tv[w+j]
+    for the 2^theta-aligned window w: J negacyclic rotations (X^{-j} is a
+    compile-time barrel shift) share ONE batched extract+keyswitch. The
+    reference has no PBS at all (its test vector is pinned,
+    gatebootstrapping_gpu.cuh:29-52); this rides the same kernels and is
+    the workhorse of the encrypted-integer layer (models/integers.py:
+    full adder = one rotation). Bit-exact vs golden.pbs_many.
+
+    tlwe0: [B, n0+1]; tv: [N] or [B, N]. Returns [J, B, n0+1] lvl0
+    ciphertexts — output j encrypts LUT_j of the input."""
+    if theta is None:
+        theta = (J - 1).bit_length()
+    assert J <= 1 << theta, (J, theta)
+    n0 = params.lvl0.dim
+    lp = params.lvl1
+    acc = blind_rotate_tv(tlwe0[:, :n0], tlwe0[:, n0], tv, keys, params,
+                          backend, theta=theta)
+    B = acc.shape[0]
+    rots = [acc] + [rotate_by_xai(acc, jnp.full((B,), U32(2 * lp.n - j)),
+                                  lp)
+                    for j in range(1, J)]
+    stacked = jnp.concatenate(rots, axis=0)          # [J*B, k+1, N]
+    out = key_switch(sample_extract_for_ks(stacked, lp),
+                     keys.ksk_limbs_sei, params)
+    return out.reshape(J, B, n0 + 1)

@@ -16,6 +16,7 @@ EXAMPLES = [
     ("04_encrypted_processor.py",
      "all encrypted program runs match the plaintext interpreter"),
     ("05_encrypted_lookup.py", "all encrypted lookups correct"),
+    ("06_encrypted_integers.py", "all encrypted integer results correct"),
 ]
 
 

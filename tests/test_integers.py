@@ -1,0 +1,191 @@
+"""Encrypted-integer layer: multi-output PBS + radix arithmetic.
+
+The pbs_many primitive is tested uint32-exact against golden.pbs_many;
+the integer ops are tested end-to-end (encrypt -> evaluate -> decrypt) on
+the deterministic tiny sets, where decomposition/modswitch rounding is the
+only noise.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cufhe_tpu import golden as G
+from cufhe_tpu import params as P
+from cufhe_tpu.models import (Context, IntCodec, IntContext, decrypt_bits,
+                              decrypt_uint, encrypt_uint)
+from cufhe_tpu.models.integers import build_tv
+from cufhe_tpu.ops import bootstrap as B
+from cufhe_tpu.ops import keys as K
+
+
+@pytest.fixture(scope="module")
+def int_key():
+    sk = G.keygen(P.TINY, seed=21)
+    ek = G.make_eval_key(sk, seed=22)
+    return sk, ek
+
+
+@pytest.fixture(scope="module")
+def int_pallas_key():
+    sk = G.keygen(P.PALLAS_TINY, seed=23)
+    ek = G.make_eval_key(sk, seed=24)
+    return sk, ek
+
+
+@pytest.mark.parametrize("backend", ["conv", "toeplitz"])
+@pytest.mark.parametrize("theta", [0, 1, 2])
+def test_pbs_many_bitexact(backend, theta, int_key, rng):
+    """Multi-output PBS vs the golden model, uint32-exact, every J and
+    rounding depth."""
+    sk, ek = int_key
+    p = sk.params
+    keys = K.prepare_keys(ek)
+    J = 1 << theta
+    cts = [G.encrypt_bit(b, sk, rng) for b in (0, 1, 1, 0)]
+    batch = jnp.asarray(np.stack(cts))
+    tv = rng.integers(0, 1 << 32, p.lvl1.n,
+                      dtype=np.uint64).astype(np.uint32)
+    want = np.stack([G.pbs_many(c, tv, J, ek, theta=theta) for c in cts],
+                    axis=1)
+    got = np.asarray(B.pbs_many(batch, jnp.asarray(tv), J, keys, p,
+                                backend, theta=theta))
+    assert np.array_equal(got, want)
+
+
+def test_pbs_many_pallas_bitexact(int_pallas_key, rng):
+    """The production kernel path through the rounded mod switch."""
+    sk, ek = int_pallas_key
+    p = sk.params
+    keys = K.prepare_keys(ek, backends=("pallas",))
+    cts = [G.encrypt_bit(b, sk, rng) for b in (1, 0)]
+    batch = jnp.asarray(np.stack(cts))
+    tv = rng.integers(0, 1 << 32, p.lvl1.n,
+                      dtype=np.uint64).astype(np.uint32)
+    want = np.stack([G.pbs_many(c, tv, 2, ek, theta=1) for c in cts],
+                    axis=1)
+    got = np.asarray(B.pbs_many(batch, jnp.asarray(tv), 2, keys, p,
+                                "pallas", theta=1))
+    assert np.array_equal(got, want)
+
+
+def test_build_tv_slots():
+    """LUT geometry: slot centers map to their outputs, the wrap tail is
+    the negated v=0 output."""
+    N, b = 64, 2
+    outs = [np.arange(4, dtype=np.uint32) * 1000 + 7]
+    tv = build_tv(outs, b, N)
+    dw = N >> b
+    for v in range(4):
+        assert tv[v * dw] == outs[0][v]
+    assert tv[N - 1] == (-7) % (1 << 32)
+
+
+@pytest.fixture(scope="module")
+def int_ctx(int_key):
+    sk, ek = int_key
+    ctx = Context(ek, backend="conv")
+    return sk, IntContext(ctx)
+
+
+def test_add_sub_roundtrip(int_ctx, rng):
+    sk, ictx = int_ctx
+    xs = [3, 200, 255, 0]
+    ys = [5, 77, 255, 0]
+    x = encrypt_uint(xs, 8, sk, rng=rng)
+    y = encrypt_uint(ys, 8, sk, rng=rng)
+    s = ictx.add(x, y)
+    assert decrypt_uint(s, sk) == [(a + b) % 256 for a, b in zip(xs, ys)]
+    d = ictx.sub(x, y)
+    assert decrypt_uint(d, sk) == [(a - b) % 256 for a, b in zip(xs, ys)]
+
+
+def test_add_overflow_carry(int_ctx, rng):
+    sk, ictx = int_ctx
+    xs, ys = [250, 1], [10, 2]
+    x = encrypt_uint(xs, 8, sk, rng=rng)
+    y = encrypt_uint(ys, 8, sk, rng=rng)
+    s, carry = ictx.add_full(x, y)
+    assert decrypt_uint(s, sk) == [(a + b) % 256 for a, b in zip(xs, ys)]
+    bits = decrypt_bits(ictx.digit_to_bool(carry), sk)
+    assert bits.tolist() == [1, 0]
+
+
+def test_scalar_and_neg(int_ctx, rng):
+    sk, ictx = int_ctx
+    x = encrypt_uint([100, 5], 8, sk, rng=rng)
+    assert decrypt_uint(ictx.add_scalar(x, 200), sk) == [44, 205]
+    assert decrypt_uint(ictx.sub_scalar(x, 7), sk) == [93, 254]
+    assert decrypt_uint(ictx.neg(x), sk) == [156, 251]
+
+
+def test_comparisons(int_ctx, rng):
+    sk, ictx = int_ctx
+    xs, ys = [9, 4, 7, 200], [4, 9, 7, 200]
+    x = encrypt_uint(xs, 8, sk, rng=rng)
+    y = encrypt_uint(ys, 8, sk, rng=rng)
+    assert decrypt_bits(ictx.ge(x, y), sk).tolist() == [1, 0, 1, 1]
+    assert decrypt_bits(ictx.lt(x, y), sk).tolist() == [0, 1, 0, 0]
+    assert decrypt_bits(ictx.eq(x, y), sk).tolist() == [0, 0, 1, 1]
+    assert decrypt_bits(ictx.eq_scalar(x, 7), sk).tolist() == [0, 0, 1, 0]
+
+
+def test_apply_lut_and_bool_bridge(int_ctx, rng):
+    sk, ictx = int_ctx
+    x = encrypt_uint([0b1011, 0b0110], 4, sk, rng=rng)
+    flipped = ictx.apply_lut(x, [1, 0])          # digitwise NOT at m=1
+    assert decrypt_uint(flipped, sk) == [0b0100, 0b1001]
+    # bool bridge round-trip: digit -> bool -> digit
+    b = ictx.digit_to_bool(x.digits[:, 0])
+    assert decrypt_bits(b, sk).tolist() == [1, 0]
+    back = ictx.bool_to_digit(b)
+    assert decrypt_bits(ictx.digit_to_bool(back), sk).tolist() == [1, 0]
+
+
+def test_shift_digits(int_ctx, rng):
+    sk, ictx = int_ctx
+    x = encrypt_uint([0b0110, 0b1001], 4, sk, rng=rng)
+    assert decrypt_uint(ictx.shift_digits(x, 1), sk) == [0b1100, 0b0010]
+    assert decrypt_uint(ictx.shift_digits(x, -2), sk) == [0b0001, 0b0010]
+
+
+def test_mul(int_ctx, rng):
+    sk, ictx = int_ctx
+    xs, ys = [13, 7], [11, 0]
+    x = encrypt_uint(xs, 4, sk, rng=rng)
+    y = encrypt_uint(ys, 4, sk, rng=rng)
+    prod = ictx.mul(x, y)
+    assert prod.bits == 8
+    assert decrypt_uint(prod, sk) == [a * b for a, b in zip(xs, ys)]
+
+
+def test_msg_bits_2_experimental(int_pallas_key, rng):
+    """Radix-4 digits (b=3) on the wider tiny set: the experimental
+    higher-throughput codec stays correct where rounding noise allows."""
+    sk, ek = int_pallas_key
+    codec = IntCodec(msg_bits=2)
+    ictx = IntContext(Context(ek, backend="conv"), codec)
+    xs, ys = [123, 250], [45, 6]
+    x = encrypt_uint(xs, 8, sk, codec, rng=rng)
+    y = encrypt_uint(ys, 8, sk, codec, rng=rng)
+    assert x.ndigits == 4
+    s = ictx.add(x, y)
+    assert decrypt_uint(s, sk) == [(a + b) % 256 for a, b in zip(xs, ys)]
+
+
+def test_theta_zero_matches_legacy_a_switch(int_key, rng):
+    """theta=0 many-path differs from the legacy PBS only in b's rounding:
+    with b's low switch bits zero the two are bit-identical."""
+    sk, ek = int_key
+    p = sk.params
+    keys = K.prepare_keys(ek)
+    ct = G.encrypt_bit(1, sk, rng)
+    ct[p.lvl0.dim] &= np.uint32(~((1 << (32 - 1 - p.lvl1.nbit)) - 1)
+                                & 0xFFFFFFFF)
+    tv = rng.integers(0, 1 << 32, p.lvl1.n,
+                      dtype=np.uint64).astype(np.uint32)
+    batch = jnp.asarray(ct[None])
+    legacy = np.asarray(B.programmable_bootstrap(batch, jnp.asarray(tv),
+                                                 keys, p, "conv"))
+    many = np.asarray(B.pbs_many(batch, jnp.asarray(tv), 1, keys, p,
+                                 "conv", theta=0))[0]
+    assert np.array_equal(legacy, many)
