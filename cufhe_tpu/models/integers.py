@@ -417,36 +417,58 @@ class IntContext:
             return IntCtxt(jnp.concatenate([kept, pads], axis=1), x.codec)
         return IntCtxt(jnp.concatenate([pads, kept], axis=1), x.codec)
 
+    def _mul_prog(self, D: int):
+        p, bk = self.ctx.params, self.ctx.backend
+        n0 = p.lvl0.dim
+
+        def run(xd, yd, tv_and, tv_add, keys):
+            Bt = xd.shape[0]
+            acc0 = jnp.zeros((Bt, 2 * D, n0 + 1), U32)  # trivial zeros
+
+            def ripple(acc, add):
+                # both [Bt, 2D, n0+1]; fused full-width carry chain
+                c0 = jnp.zeros((Bt, n0 + 1), U32)
+
+                def body(c, ab):
+                    a, b_ = ab
+                    sc = B.pbs_many(a + b_ + c, tv_add, 2, keys, p, bk,
+                                    theta=1)
+                    return sc[1], sc[0]
+
+                _, sums = jax.lax.scan(
+                    body, c0, (jnp.moveaxis(acc, 1, 0),
+                               jnp.moveaxis(add, 1, 0)))
+                return jnp.moveaxis(sums, 0, 1)
+
+            def row_body(acc, inp):
+                yr, r = inp
+                t = (xd + yr[:, None, :]).reshape(Bt * D, n0 + 1)
+                row = B.pbs_many(t, tv_and, 1, keys, p, bk,
+                                 theta=0)[0].reshape(Bt, D, n0 + 1)
+                shifted = jax.lax.dynamic_update_slice(
+                    jnp.zeros((Bt, 2 * D, n0 + 1), U32), row, (0, r, 0))
+                return ripple(acc, shifted), None
+
+            acc, _ = jax.lax.scan(row_body, acc0,
+                                  (jnp.moveaxis(yd, 1, 0),
+                                   jnp.arange(D)))
+            return acc
+
+        return run
+
     def mul(self, x: IntCtxt, y: IntCtxt) -> IntCtxt:
-        """Schoolbook product (full 2*bits width). msg_bits=1 only:
-        partial-product rows are bivariate AND rotations (one batched
-        dispatch per row), accumulated with fused ripple adds — ~3*D^2
-        rotations per product vs ~6*D^2 gate bootstraps for the netlist
-        multiplier."""
+        """Schoolbook product (full 2*bits width), ONE dispatch. msg_bits=1
+        only: the whole product — partial-product rows as bivariate AND
+        rotations, accumulated with fused ripple adds — runs as a lax.scan
+        over rows inside one compiled program: ~3*D^2 rotations per product
+        (vs ~6*D^2 gate bootstraps for the netlist multiplier) and one
+        dispatch instead of 2*D."""
         self._check(x, y)
         if self.codec.msg_bits != 1:
             raise NotImplementedError("mul is implemented for msg_bits=1")
-        p, bk = self.ctx.params, self.ctx.backend
-        n0 = p.lvl0.dim
         D = x.ndigits
-
-        def pp_row(xd, yr, tv, keys):
-            Bt = xd.shape[0]
-            t = (xd + yr[:, None, :]).reshape(Bt * D, n0 + 1)
-            out = B.pbs_many(t, tv, 1, keys, p, bk, theta=0)[0]
-            return out.reshape(Bt, D, n0 + 1)
-
-        prog = self.ctx._jit(("int_pp", self.codec), pp_row,
+        prog = self.ctx._jit(("int_mul", self.codec, D), self._mul_prog(D),
                              batch_argnums=(0, 1))
-        acc = self.trivial_uint([0] * x.batch, 2 * x.bits)
-        zero = self._trivial_digit(x.batch, 0)[:, None, :]
-        for r in range(D):
-            row = prog(x.digits, y.digits[:, r], self._tv_and2,
-                       self.ctx.keys)
-            pads_lo = jnp.broadcast_to(zero, (x.batch, r, zero.shape[-1]))
-            pads_hi = jnp.broadcast_to(zero, (x.batch, D - r,
-                                              zero.shape[-1]))
-            shifted = IntCtxt(jnp.concatenate([pads_lo, row, pads_hi],
-                                              axis=1), self.codec)
-            acc = self.add(acc, shifted)
-        return acc
+        acc = prog(x.digits, y.digits, self._tv_and2, self._tv_add,
+                   self.ctx.keys)
+        return IntCtxt(acc, self.codec)

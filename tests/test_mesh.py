@@ -140,3 +140,25 @@ def test_gate_chain_sharded_matches_unsharded(pallas_key, rng):
     mesh = Context(ek, mesh=data_mesh()).gate_chain(names, a, b)
     assert np.array_equal(np.asarray(jax.device_get(plain.data)),
                           np.asarray(jax.device_get(mesh.data)))
+
+
+def test_integer_add_sharded_matches_unsharded(pallas_key, rng):
+    """The encrypted-integer ripple adder (scanned pbs_many) under a mesh
+    Context: word batch sharded over the data axis, sharded == unsharded
+    bit-exact, and the decrypted sums correct."""
+    from cufhe_tpu.models import (IntContext, decrypt_uint, encrypt_uint)
+
+    sk, ek = pallas_key
+    B = 16
+    mod = 1 << 4
+    xs = [int(v) for v in rng.integers(0, mod, B)]
+    ys = [int(v) for v in rng.integers(0, mod, B)]
+    x = encrypt_uint(xs, 4, sk, rng=rng)
+    y = encrypt_uint(ys, 4, sk, rng=rng)
+    plain = IntContext(Context(ek)).add(x, y)
+    ictx_m = IntContext(Context(ek, mesh=data_mesh()))
+    mesh = ictx_m.add(x, y)
+    assert np.array_equal(np.asarray(jax.device_get(plain.digits)),
+                          np.asarray(jax.device_get(mesh.digits)))
+    assert len(mesh.digits.sharding.device_set) == 8
+    assert decrypt_uint(mesh, sk) == [(a + b) % mod for a, b in zip(xs, ys)]

@@ -401,7 +401,7 @@ def test_pallas_preband_env_path(pallas_key, rng, monkeypatch):
     assert np.array_equal(got, want)
 
 
-def test_pallas_preband_odd_n0_bitexact(rng):
+def _preband_odd_n0_check():
     """The preband unroll-by-2 loop's overshoot body (odd lvl0 dimension:
     masked digits, skipped DMA waits) must contribute exact zeros — no
     shipped preset has odd n0, so this exercises the path on a crafted
@@ -409,6 +409,7 @@ def test_pallas_preband_odd_n0_bitexact(rng):
     import dataclasses
 
     from cufhe_tpu.ops import pallas_br as PBR
+    rng = np.random.default_rng(62)
     p = dataclasses.replace(
         P.PALLAS_KAR, name="pallas-kar-odd-n0-test",
         lvl0=dataclasses.replace(P.PALLAS_KAR.lvl0, n=7))
@@ -426,6 +427,28 @@ def test_pallas_preband_odd_n0_bitexact(rng):
                                  jnp.asarray(np.stack(c1)), keys2, p,
                                  backend="pallas"))
     assert np.array_equal(got, want)
+
+
+def test_pallas_preband_odd_n0_bitexact():
+    """Runs _preband_odd_n0_check in a FRESH interpreter: this program
+    (depth-2 Karatsuba + preband DMA + odd-n0 masked tail) is the largest
+    compile in the suite, and XLA's CPU compiler segfaults on it when run
+    after the whole suite's accumulated compile state (it passes in
+    isolation and after any single other module). Process isolation keeps
+    the coverage without the order-dependent crash."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = ("import sys; sys.path[:0] = [%r, %r]; "
+            "import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import test_pallas; test_pallas._preband_odd_n0_check()"
+            % (root, os.path.join(root, "tests")))
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=900,
+                       env=dict(os.environ, JAX_PLATFORMS="cpu"))
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
 
 
 def test_pallas_programmable_bootstrap_bitexact(pallas_key, rng):
