@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--params", default="tfhepp_128bit")
     ap.add_argument("--msg-bits", type=int, default=1)
     ap.add_argument("--backend", default="auto")
+    ap.add_argument("--mul-bits", type=int, default=0,
+                    help="also bench the fused multiplier at this width "
+                         "(0 = skip; products are verified)")
     args = ap.parse_args()
 
     import jax
@@ -69,14 +72,24 @@ def main():
     y = encrypt_uint(ys, bits, sk, codec, rng=rng)
 
     # -- throughput: fused ripple add (one dispatch) ---------------------
+    # Completion barrier = forcing the LAST digit only ([B, n0+1], the same
+    # ~2.6 MB readback the gate bench pays): it depends on the whole carry
+    # chain, and the dispatch that produced it materializes every digit
+    # before the slice program runs. Forcing the full [B, D, n0+1] result
+    # instead would bill the measurement for shipping ~80 MB through the
+    # ~30 MB/s axon tunnel per rep (~40% inflation at batch 1024) — a
+    # link artifact the reference's own methodology (cudaEvents,
+    # device-resident ciphertexts) also excludes.
     s = ictx.add(x, y)                      # compile + warm
-    _force(s.digits)
+    _force(s.digits[:, -1])
     reps = 3
-    t0 = time.perf_counter()
+    ts = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         s = ictx.add(x, y)
-    _force(s.digits)
-    dt = (time.perf_counter() - t0) / reps
+        _force(s.digits[:, -1])
+        ts.append(time.perf_counter() - t0)
+    dt = sorted(ts)[len(ts) // 2]
     adds_per_s = B / dt
     rot_per_s = B * D / dt
 
@@ -113,6 +126,30 @@ def main():
     got = decrypt_uint(acc, sk)
     chain_bad = sum(g != w for g, w in zip(got, acc_plain))
 
+    mul_stats = {}
+    if args.mul_bits:
+        mb = args.mul_bits
+        mxs = [int(v) for v in rng.integers(0, 1 << mb, B, dtype=np.uint64)]
+        mys = [int(v) for v in rng.integers(0, 1 << mb, B, dtype=np.uint64)]
+        mx = encrypt_uint(mxs, mb, sk, codec, rng=rng)
+        my = encrypt_uint(mys, mb, sk, codec, rng=rng)
+        prod = ictx.mul(mx, my)                 # compile + warm
+        _force(prod.digits[:, -1])
+        t0 = time.perf_counter()
+        prod = ictx.mul(mx, my)
+        _force(prod.digits[:, -1])              # thin completion barrier
+        mdt = time.perf_counter() - t0
+        got = decrypt_uint(prod, sk)
+        mul_stats = {
+            "mul_bits": mb,
+            "muls_per_sec": round(B / mdt, 1),
+            "ms_per_mul_batch": round(mdt * 1e3, 1),
+            "mul_rotations_per_sec":
+                round(3 * (mb // codec.msg_bits) ** 2 * B / mdt, 1),
+            "mul_word_errors":
+                sum(g != a * b for g, a, b in zip(got, mxs, mys)),
+        }
+
     print(json.dumps({
         "metric": "encrypted_uint_add",
         "params": params.name, "backend": args.backend,
@@ -125,6 +162,7 @@ def main():
         "next_add_margin_sigmas": round(margin, 2),
         "chain_depth": args.chain,
         "chain_word_errors": chain_bad,
+        **mul_stats,
         "device": str(jax.devices()[0]),
     }))
 
