@@ -377,6 +377,56 @@ class IntContext:
     def eq_scalar(self, x: IntCtxt, value: int) -> Ctxt:
         return self.eq(x, self.trivial_uint([value] * x.batch, x.bits))
 
+    # -- select / min / max ----------------------------------------------
+    def select(self, cond: Ctxt, x: IntCtxt, y: IntCtxt) -> IntCtxt:
+        """cond ? x : y, digitwise (msg_bits=1): each output digit is
+        (s AND x_d) + (NOT s AND y_d) — the two bivariate AND rotations of
+        EVERY digit share one batched dispatch, and the results sum
+        LINEARLY (exactly one term is nonzero, so the sum IS the selected
+        value). Cost: 2 rotations/digit + 1/word (the cond bridge).
+        Output digit noise is sqrt(2) x fresh (a linear add of two
+        bootstrap outputs); the next adder input margin drops
+        4.76 -> ~4.3 sigma, fine for chaining.
+
+        `cond` is a gate-domain bool (Ctxt, phase +-mu) broadcast over all
+        digits of each word."""
+        self._check(x, y)
+        if self.codec.msg_bits != 1:
+            raise NotImplementedError("select is implemented for msg_bits=1")
+        p, bk = self.ctx.params, self.ctx.backend
+        n0 = p.lvl0.dim
+        d = U32(self.codec.delta)
+
+        # A gate bool (phase +-mu0) cannot be rescaled DOWN to digit scale
+        # linearly (mu0 = 2^29 is not invertible mod 2^32), so one
+        # bootstrap bridges cond to a clean {0,1} digit — amortized over
+        # every digit of the word. Then both AND rotations of every digit
+        # share one batched dispatch and the results sum linearly.
+        sdig = self.bool_to_digit(cond)                   # [B, n0+1]
+
+        def run2(sd, xd, yd, tv_and, keys):
+            Bt, D = xd.shape[0], xd.shape[1]
+            ns = jnp.negative(sd).at[:, n0].add(d)        # 1 - s
+            t1 = (xd + sd[:, None, :]).reshape(Bt * D, n0 + 1)
+            t0 = (yd + ns[:, None, :]).reshape(Bt * D, n0 + 1)
+            both = jnp.concatenate([t1, t0], axis=0)
+            r = B.pbs_many(both, tv_and, 1, keys, p, bk, theta=0)[0]
+            r1, r0 = r[:Bt * D], r[Bt * D:]
+            return (r1 + r0).reshape(Bt, D, n0 + 1)
+
+        prog = self.ctx._jit(("int_select", self.codec), run2,
+                             batch_argnums=(0, 1, 2))
+        out = prog(sdig, x.digits, y.digits, self._tv_and2, self.ctx.keys)
+        return IntCtxt(out, self.codec)
+
+    def min_(self, x: IntCtxt, y: IntCtxt) -> IntCtxt:
+        """Elementwise minimum: one sub (the comparison) + one select."""
+        return self.select(self.ge(x, y), y, x)
+
+    def max_(self, x: IntCtxt, y: IntCtxt) -> IntCtxt:
+        """Elementwise maximum: one sub + one select."""
+        return self.select(self.ge(x, y), x, y)
+
     # -- LUTs and structure ----------------------------------------------
     def apply_lut(self, x: IntCtxt, table: Sequence[int]) -> IntCtxt:
         """Digitwise LUT: out_d = table[x_d] (one rotation per digit, all

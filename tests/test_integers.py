@@ -148,6 +148,19 @@ def test_shift_digits(int_ctx, rng):
     assert decrypt_uint(ictx.shift_digits(x, -2), sk) == [0b0001, 0b0010]
 
 
+def test_select_min_max(int_ctx, rng):
+    sk, ictx = int_ctx
+    xs, ys = [9, 4, 200, 0], [4, 9, 200, 255]
+    x = encrypt_uint(xs, 8, sk, rng=rng)
+    y = encrypt_uint(ys, 8, sk, rng=rng)
+    sel = ictx.select(ictx.ge(x, y), x, y)
+    assert decrypt_uint(sel, sk) == [max(a, b) for a, b in zip(xs, ys)]
+    assert decrypt_uint(ictx.min_(x, y), sk) == \
+        [min(a, b) for a, b in zip(xs, ys)]
+    assert decrypt_uint(ictx.max_(x, y), sk) == \
+        [max(a, b) for a, b in zip(xs, ys)]
+
+
 def test_mul(int_ctx, rng):
     sk, ictx = int_ctx
     xs, ys = [13, 7], [11, 0]
