@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--mul-bits", type=int, default=0,
                     help="also bench the fused multiplier at this width "
                          "(0 = skip; products are verified)")
+    ap.add_argument("--div-bits", type=int, default=0,
+                    help="also bench fused restoring divmod at this width "
+                         "(0 = skip; quotients/remainders are verified)")
     args = ap.parse_args()
 
     import jax
@@ -150,6 +153,32 @@ def main():
                 sum(g != a * b for g, a, b in zip(got, mxs, mys)),
         }
 
+    div_stats = {}
+    if args.div_bits:
+        db = args.div_bits
+        Dd = db // codec.msg_bits
+        dxs = [int(v) for v in rng.integers(0, 1 << db, B, dtype=np.uint64)]
+        dys = [int(v) for v in rng.integers(1, 1 << db, B, dtype=np.uint64)]
+        dx = encrypt_uint(dxs, db, sk, codec, rng=rng)
+        dy = encrypt_uint(dys, db, sk, codec, rng=rng)
+        q, r = ictx.divmod_(dx, dy)             # compile + warm
+        _force(q.digits[:, -1])
+        t0 = time.perf_counter()
+        q, r = ictx.divmod_(dx, dy)
+        _force(q.digits[:, -1])                 # thin completion barrier
+        ddt = time.perf_counter() - t0
+        gq, gr = decrypt_uint(q, sk), decrypt_uint(r, sk)
+        div_stats = {
+            "div_bits": db,
+            "divs_per_sec": round(B / ddt, 1),
+            "ms_per_div_batch": round(ddt * 1e3, 1),
+            # per quotient bit: (D+1)-digit trial sub + 2(D+1) select
+            "div_rotations_per_sec": round(3 * Dd * (Dd + 1) * B / ddt, 1),
+            "div_word_errors":
+                sum(int(g != a // b) + int(h != a % b)
+                    for g, h, a, b in zip(gq, gr, dxs, dys)),
+        }
+
     print(json.dumps({
         "metric": "encrypted_uint_add",
         "params": params.name, "backend": args.backend,
@@ -163,6 +192,7 @@ def main():
         "chain_depth": args.chain,
         "chain_word_errors": chain_bad,
         **mul_stats,
+        **div_stats,
         "device": str(jax.devices()[0]),
     }))
 

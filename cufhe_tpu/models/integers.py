@@ -393,10 +393,6 @@ class IntContext:
         self._check(x, y)
         if self.codec.msg_bits != 1:
             raise NotImplementedError("select is implemented for msg_bits=1")
-        p, bk = self.ctx.params, self.ctx.backend
-        n0 = p.lvl0.dim
-        d = U32(self.codec.delta)
-
         # A gate bool (phase +-mu0) cannot be rescaled DOWN to digit scale
         # linearly (mu0 = 2^29 is not invertible mod 2^32), so one
         # bootstrap bridges cond to a clean {0,1} digit — amortized over
@@ -405,14 +401,7 @@ class IntContext:
         sdig = self.bool_to_digit(cond)                   # [B, n0+1]
 
         def run2(sd, xd, yd, tv_and, keys):
-            Bt, D = xd.shape[0], xd.shape[1]
-            ns = jnp.negative(sd).at[:, n0].add(d)        # 1 - s
-            t1 = (xd + sd[:, None, :]).reshape(Bt * D, n0 + 1)
-            t0 = (yd + ns[:, None, :]).reshape(Bt * D, n0 + 1)
-            both = jnp.concatenate([t1, t0], axis=0)
-            r = B.pbs_many(both, tv_and, 1, keys, p, bk, theta=0)[0]
-            r1, r0 = r[:Bt * D], r[Bt * D:]
-            return (r1 + r0).reshape(Bt, D, n0 + 1)
+            return self._select_digits(sd, xd, yd, tv_and, keys)
 
         prog = self.ctx._jit(("int_select", self.codec), run2,
                              batch_argnums=(0, 1, 2))
@@ -505,6 +494,139 @@ class IntContext:
             return acc
 
         return run
+
+    def _select_digits(self, g, a, b_, tv_and, keys):
+        """Digitwise g ? a : b_ where g is a CLEAN {0,1} digit [B, n0+1]
+        (no gate-bool bridge needed) and a/b_ are [B, W, n0+1]. Both
+        bivariate-AND rotation sets share one pbs_many call; the results
+        sum linearly (exactly one term per digit is nonzero)."""
+        p, bk = self.ctx.params, self.ctx.backend
+        n0 = p.lvl0.dim
+        Bt, W = a.shape[0], a.shape[1]
+        ns = jnp.negative(g).at[:, n0].add(U32(self.codec.delta))
+        t1 = (a + g[:, None, :]).reshape(Bt * W, n0 + 1)
+        t0 = (b_ + ns[:, None, :]).reshape(Bt * W, n0 + 1)
+        both = jnp.concatenate([t1, t0], axis=0)
+        r = B.pbs_many(both, tv_and, 1, keys, p, bk, theta=0)[0]
+        return (r[:Bt * W] + r[Bt * W:]).reshape(Bt, W, n0 + 1)
+
+    def _div_prog(self, D: int):
+        p, bk = self.ctx.params, self.ctx.backend
+        n0 = p.lvl0.dim
+        W = D + 1                                  # remainder register width
+
+        def run(xd, yd, tv_add, tv_and, keys):
+            Bt = xd.shape[0]
+            zero = jnp.zeros((Bt, n0 + 1), U32)
+            # divisor zero-extended to W digits; complemented once for the
+            # two's-complement trial subtraction of every step
+            cyW = self._comp_digits(
+                jnp.concatenate([yd, zero[:, None, :]], axis=1))
+
+            def sub_trial(r2):
+                # r2 - y = r2 + comp(y) + 1 rippled over W digits; the
+                # final carry is the (r2 >= y) indicator.
+                c0 = zero.at[:, n0].add(U32(self.codec.delta))
+
+                def body(c, ab):
+                    a, b_ = ab
+                    sc = B.pbs_many(a + b_ + c, tv_add, 2, keys, p, bk,
+                                    theta=1)
+                    return sc[1], sc[0]
+
+                ge, diffs = jax.lax.scan(
+                    body, c0, (jnp.moveaxis(r2, 1, 0),
+                               jnp.moveaxis(cyW, 1, 0)))
+                return jnp.moveaxis(diffs, 0, 1), ge
+
+            def step(r, xbit):
+                # r2 = 2r + next dividend bit. The dropped top digit is
+                # always an encryption of 0 (the loop invariant keeps
+                # r < 2^D before the shift).
+                r2 = jnp.concatenate([xbit[:, None, :], r[:, :-1]], axis=1)
+                diff, ge = sub_trial(r2)
+                return self._select_digits(ge, diff, r2, tv_and, keys), ge
+
+            r0 = jnp.zeros((Bt, W, n0 + 1), U32)
+            xs_hi_first = jnp.moveaxis(xd, 1, 0)[::-1]
+            r, qbits = jax.lax.scan(step, r0, xs_hi_first)
+            q = jnp.moveaxis(qbits[::-1], 0, 1)    # back to little-endian
+            return q, r[:, :D]
+
+        return run
+
+    def divmod_(self, x: IntCtxt, y: IntCtxt) -> tuple:
+        """Restoring division, ONE dispatch: returns (x // y, x % y).
+        msg_bits=1 only. Per quotient bit: one (D+1)-digit trial
+        subtraction + one digitwise select, all inside a lax.scan —
+        ~3*D^2 rotations per divide, one dispatch total. Division by an
+        encrypted zero follows the restoring-hardware convention:
+        quotient = 2^bits - 1, remainder = x."""
+        self._check(x, y)
+        if self.codec.msg_bits != 1:
+            raise NotImplementedError("divmod_ is implemented for msg_bits=1")
+        D = x.ndigits
+        prog = self.ctx._jit(("int_div", self.codec, D), self._div_prog(D),
+                             batch_argnums=(0, 1))
+        q, r = prog(x.digits, y.digits, self._tv_add, self._tv_and2,
+                    self.ctx.keys)
+        return IntCtxt(q, self.codec), IntCtxt(r, self.codec)
+
+    def div(self, x: IntCtxt, y: IntCtxt) -> IntCtxt:
+        return self.divmod_(x, y)[0]
+
+    def mod(self, x: IntCtxt, y: IntCtxt) -> IntCtxt:
+        return self.divmod_(x, y)[1]
+
+    def _shift_prog(self, D: int, S: int, sign: int):
+        p, bk = self.ctx.params, self.ctx.backend
+        n0 = p.lvl0.dim
+
+        def run(xd, ad, tv_and, keys):
+            Bt = xd.shape[0]
+            cur = xd
+            for i in range(S):                     # unrolled: S is static
+                k = sign * (1 << i)
+                if abs(k) >= D:
+                    shifted = jnp.zeros_like(cur)  # trivial zeros
+                elif k > 0:
+                    pad = jnp.zeros((Bt, k, n0 + 1), U32)
+                    shifted = jnp.concatenate([pad, cur[:, :D - k]], axis=1)
+                else:
+                    pad = jnp.zeros((Bt, -k, n0 + 1), U32)
+                    shifted = jnp.concatenate([cur[:, -k:], pad], axis=1)
+                cur = self._select_digits(ad[:, i], shifted, cur, tv_and,
+                                          keys)
+            return cur
+
+        return run
+
+    def _shift_by(self, x: IntCtxt, amount: IntCtxt, sign: int,
+                  tag: str) -> IntCtxt:
+        if x.codec != self.codec or amount.codec != self.codec:
+            raise ValueError("ciphertext codec differs from context codec")
+        if self.codec.msg_bits != 1:
+            raise NotImplementedError("shifts are implemented for msg_bits=1")
+        if amount.batch != x.batch:
+            raise ValueError("shift amount batch differs from operand batch")
+        D, S = x.ndigits, amount.ndigits
+        prog = self.ctx._jit((tag, self.codec, D, S),
+                             self._shift_prog(D, S, sign),
+                             batch_argnums=(0, 1))
+        out = prog(x.digits, amount.digits, self._tv_and2, self.ctx.keys)
+        return IntCtxt(out, self.codec)
+
+    def shift_left(self, x: IntCtxt, amount: IntCtxt) -> IntCtxt:
+        """x << amount with an ENCRYPTED shift amount: a barrel shifter of
+        amount.ndigits stages (stage i selects between x and the static
+        2^i-digit shift under bit i of the amount), ONE dispatch,
+        2*D rotations per stage. Amounts >= bits yield 0 (bits shifted
+        past the top are dropped, vacated digits are trivial zeros)."""
+        return self._shift_by(x, amount, +1, "int_shl")
+
+    def shift_right(self, x: IntCtxt, amount: IntCtxt) -> IntCtxt:
+        """Logical x >> amount with an ENCRYPTED amount (see shift_left)."""
+        return self._shift_by(x, amount, -1, "int_shr")
 
     def mul(self, x: IntCtxt, y: IntCtxt) -> IntCtxt:
         """Schoolbook product (full 2*bits width), ONE dispatch. msg_bits=1

@@ -58,4 +58,22 @@ for name, got, want in (("x+y", got_s, want_s), ("x-y", got_d, want_d),
     print(f"{name}: {got}  expected {want}  {'OK' if match else 'WRONG'}")
 
 assert ok == 4
+
+# --- division: restoring divmod, the whole loop one fused dispatch --------
+xs4, ys4 = [13, 9], [3, 4]
+q, r = ictx.divmod_(encrypt_uint(xs4, 4, sk, rng=rng),
+                    encrypt_uint(ys4, 4, sk, rng=rng))
+got_q, got_r = decrypt_uint(q, sk), decrypt_uint(r, sk)
+print(f"divmod({xs4}, {ys4}) = {got_q} rem {got_r}")
+assert got_q == [a // b for a, b in zip(xs4, ys4)]
+assert got_r == [a % b for a, b in zip(xs4, ys4)]
+
+# --- encrypted-amount barrel shift -----------------------------------------
+vals, amts = [0b0110, 0b1001], [1, 2]
+sh = ictx.shift_left(encrypt_uint(vals, 4, sk, rng=rng),
+                     encrypt_uint(amts, 2, sk, rng=rng))
+got_sh = decrypt_uint(sh, sk)
+print(f"{vals} << {amts} (amounts encrypted) = {got_sh}")
+assert got_sh == [(v << s) & 0xF for v, s in zip(vals, amts)]
+
 print("all encrypted integer results correct")

@@ -161,6 +161,40 @@ def test_select_min_max(int_ctx, rng):
         [max(a, b) for a, b in zip(xs, ys)]
 
 
+def test_divmod(int_ctx, rng):
+    sk, ictx = int_ctx
+    xs, ys = [13, 7, 9, 15], [3, 2, 4, 1]
+    x = encrypt_uint(xs, 4, sk, rng=rng)
+    y = encrypt_uint(ys, 4, sk, rng=rng)
+    q, r = ictx.divmod_(x, y)
+    assert decrypt_uint(q, sk) == [a // b for a, b in zip(xs, ys)]
+    assert decrypt_uint(r, sk) == [a % b for a, b in zip(xs, ys)]
+
+
+def test_div_by_zero_convention(int_ctx, rng):
+    """Restoring-hardware convention: q = all ones, r = x."""
+    sk, ictx = int_ctx
+    x = encrypt_uint([9, 0], 4, sk, rng=rng)
+    y = encrypt_uint([0, 0], 4, sk, rng=rng)
+    q, r = ictx.divmod_(x, y)
+    assert decrypt_uint(q, sk) == [15, 15]
+    assert decrypt_uint(r, sk) == [9, 0]
+
+
+def test_encrypted_shifts(int_ctx, rng):
+    sk, ictx = int_ctx
+    xs = [0b0110, 0b1001, 0b1111]
+    amts = [1, 2, 5]                       # 5 >= bits: shifts to zero
+    x = encrypt_uint(xs, 4, sk, rng=rng)
+    a = encrypt_uint(amts, 3, sk, rng=rng)
+    left = ictx.shift_left(x, a)
+    assert decrypt_uint(left, sk) == [(v << s) & 0xF if s < 4 else 0
+                                      for v, s in zip(xs, amts)]
+    right = ictx.shift_right(x, a)
+    assert decrypt_uint(right, sk) == [v >> s if s < 4 else 0
+                                       for v, s in zip(xs, amts)]
+
+
 def test_mul(int_ctx, rng):
     sk, ictx = int_ctx
     xs, ys = [13, 7], [11, 0]
