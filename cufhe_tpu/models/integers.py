@@ -147,6 +147,25 @@ def encrypt_uint(values: Sequence[int], bits: int, sk: G.SecretKey,
     return IntCtxt(jnp.asarray(cts.reshape(len(values), D, -1)), codec)
 
 
+def encrypt_int(values: Sequence[int], bits: int, sk: G.SecretKey,
+                codec: IntCodec = IntCodec(),
+                rng: Optional[np.random.Generator] = None) -> IntCtxt:
+    """Encrypt SIGNED integers as two's complement mod 2^bits. (Python's
+    arithmetic right shift makes encrypt_uint's digit extraction already
+    produce the two's-complement digits for negative inputs; this alias
+    documents the intent and range-checks.)"""
+    for v in values:
+        if not -(1 << (bits - 1)) <= int(v) < (1 << (bits - 1)):
+            raise ValueError(f"{v} out of range for int{bits}")
+    return encrypt_uint(values, bits, sk, codec, rng=rng)
+
+
+def decrypt_int(x: IntCtxt, sk: G.SecretKey) -> list:
+    """Decrypt as SIGNED two's-complement integers."""
+    mod = 1 << x.bits
+    return [v - mod if v >= mod // 2 else v for v in decrypt_uint(x, sk)]
+
+
 def decrypt_uint(x: IntCtxt, sk: G.SecretKey) -> list:
     """Decrypt a batch of encrypted integers (client side)."""
     data = np.asarray(jax.device_get(x.digits))
@@ -407,6 +426,40 @@ class IntContext:
                              batch_argnums=(0, 1, 2))
         out = prog(sdig, x.digits, y.digits, self._tv_and2, self.ctx.keys)
         return IntCtxt(out, self.codec)
+
+    # -- signed views (two's complement) -----------------------------------
+    def _flip_msb(self, x: IntCtxt) -> IntCtxt:
+        """Add 2^(bits-1) mod 2^bits: for msg_bits=1 the top digit's bit
+        flip is the linear digit complement (negate + constant) — free and
+        exact. Maps signed order onto unsigned order."""
+        if self.codec.msg_bits != 1:
+            raise NotImplementedError(
+                "signed ops are implemented for msg_bits=1")
+        top = self._comp_digits(x.digits[:, -1:])
+        return IntCtxt(jnp.concatenate([x.digits[:, :-1], top], axis=1),
+                       x.codec)
+
+    def ge_signed(self, x: IntCtxt, y: IntCtxt) -> Ctxt:
+        """Signed x >= y: flip both MSBs (linear, free) then compare
+        unsigned — same cost as ge."""
+        return self.ge(self._flip_msb(x), self._flip_msb(y))
+
+    def lt_signed(self, x: IntCtxt, y: IntCtxt) -> Ctxt:
+        out = self.ge_signed(x, y)
+        return Ctxt(jnp.negative(out.data), 0)
+
+    def min_signed(self, x: IntCtxt, y: IntCtxt) -> IntCtxt:
+        return self.select(self.ge_signed(x, y), y, x)
+
+    def max_signed(self, x: IntCtxt, y: IntCtxt) -> IntCtxt:
+        return self.select(self.ge_signed(x, y), x, y)
+
+    def abs_(self, x: IntCtxt) -> IntCtxt:
+        """|x| for signed x (two's complement; |-2^(bits-1)| wraps to
+        itself as in hardware): one comparison against zero + one neg +
+        one select."""
+        zero = self.trivial_uint([0] * x.batch, x.bits)
+        return self.select(self.ge_signed(x, zero), x, self.neg(x))
 
     def min_(self, x: IntCtxt, y: IntCtxt) -> IntCtxt:
         """Elementwise minimum: one sub (the comparison) + one select."""

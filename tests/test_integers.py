@@ -161,6 +161,34 @@ def test_select_min_max(int_ctx, rng):
         [max(a, b) for a, b in zip(xs, ys)]
 
 
+def test_signed_roundtrip_and_compare(int_ctx, rng):
+    from cufhe_tpu.models import decrypt_int, encrypt_int
+    sk, ictx = int_ctx
+    xs, ys = [-3, 7, -8, 5], [2, -7, -8, 6]
+    x = encrypt_int(xs, 4, sk, rng=rng)
+    y = encrypt_int(ys, 4, sk, rng=rng)
+    assert decrypt_int(x, sk) == xs
+    assert decrypt_bits(ictx.ge_signed(x, y), sk).tolist() == \
+        [int(a >= b) for a, b in zip(xs, ys)]
+    assert decrypt_bits(ictx.lt_signed(x, y), sk).tolist() == \
+        [int(a < b) for a, b in zip(xs, ys)]
+    assert decrypt_int(ictx.min_signed(x, y), sk) == \
+        [min(a, b) for a, b in zip(xs, ys)]
+    assert decrypt_int(ictx.max_signed(x, y), sk) == \
+        [max(a, b) for a, b in zip(xs, ys)]
+    # signed add/sub are the unsigned ops (two's complement)
+    assert decrypt_int(ictx.add(x, y), sk) == \
+        [(a + b + 8) % 16 - 8 for a, b in zip(xs, ys)]
+
+
+def test_abs(int_ctx, rng):
+    from cufhe_tpu.models import decrypt_int, encrypt_int
+    sk, ictx = int_ctx
+    xs = [-3, 7, -8, 0]                     # |-8| wraps to -8 (hardware)
+    x = encrypt_int(xs, 4, sk, rng=rng)
+    assert decrypt_int(ictx.abs_(x), sk) == [3, 7, -8, 0]
+
+
 def test_divmod(int_ctx, rng):
     sk, ictx = int_ctx
     xs, ys = [13, 7, 9, 15], [3, 2, 4, 1]
