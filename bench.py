@@ -6,6 +6,17 @@ batched across 108 SMs).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is relative to the derived A100 batched throughput (8300/s,
 BASELINE.md).
+
+Capture hardening (rounds 2 and 4 both lost the official capture to
+mid-run tunnel/link outages):
+  * the measurement runs in a killable child under a wall-clock watchdog
+    (BENCH_RUN_BUDGET_S, default 1500 s);
+  * the watchdog RETRIES the child with the remaining budget instead of
+    giving up on the first hang/crash;
+  * the child writes a heartbeat artifact after EVERY completed rep, so
+    a late drop still yields a real (flagged "partial": true) number;
+  * a persistent XLA compilation cache (.jax_cache/) makes warm restarts
+    skip the multi-minute Pallas compiles.
 """
 from __future__ import annotations
 
@@ -16,6 +27,32 @@ import time
 
 import numpy as np
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_METRIC = "nand_gate_bootstraps_per_sec_per_chip"
+_BASELINE = 8300.0  # derived A100 batched gates/s (BASELINE.md)
+
+
+def _write_json_atomic(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def _read_json(path: str) -> dict | None:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _error_line(error: str, detail: str, **extra) -> dict:
+    out = {"metric": _METRIC, "error": error, "detail": detail,
+           "value": None, "unit": "gates/s", "vs_baseline": None}
+    out.update(extra)
+    return out
+
 
 def _wait_for_device() -> None:
     """Ride out transient TPU-link outages before committing this process
@@ -23,9 +60,11 @@ def _wait_for_device() -> None:
     link is down — so probe in a killable subprocess first).
 
     The TOTAL probe budget is hard-capped (default 180 s, env
-    BENCH_INIT_BUDGET_S) so an outage cannot consume the driver's capture
-    window; on exhaustion we emit a structured JSON error line on stdout
-    and exit 0 — a parseable artifact beats a bare rc=124."""
+    BENCH_INIT_BUDGET_S) so an outage cannot consume the capture window;
+    on exhaustion we record a structured error artifact and exit — the
+    parent watchdog decides whether to retry with its remaining budget."""
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        return  # smoke mode: no TPU link involved
     import subprocess
     budget = float(os.environ.get("BENCH_INIT_BUDGET_S", "180"))
     deadline = time.monotonic() + budget
@@ -49,46 +88,101 @@ def _wait_for_device() -> None:
         print(f"device link down (probe {probes}, {remaining:.0f} s of "
               "budget left); retrying in 15 s", file=sys.stderr)
         time.sleep(15)
-    print(json.dumps({
-        "metric": "nand_gate_bootstraps_per_sec_per_chip",
-        "error": "device_down",
-        "detail": f"TPU link unreachable after {probes} probes / "
-                  f"{budget:.0f} s budget",
-        "value": None, "unit": "gates/s", "vs_baseline": None,
-    }))
+    _emit_child_result(_error_line(
+        "device_down",
+        f"TPU link unreachable after {probes} probes / {budget:.0f} s"))
     sys.exit(0)
 
 
+def _emit_child_result(line: dict) -> None:
+    """Deliver the child's final JSON: to the result file when the parent
+    watchdog is supervising (it prints exactly one line), else stdout."""
+    path = os.environ.get("_BENCH_RESULT_FILE")
+    if path:
+        _write_json_atomic(path, line)
+    else:
+        print(json.dumps(line))
+
+
 def _watchdog() -> None:
-    """Hard wall-clock cap on the WHOLE run: the startup probe catches a
-    link that is already down, but a link that drops mid-measurement hangs
-    the process inside a jax call (round 2 lost its official capture to
-    exactly this: rc=124, no artifact). Re-run ourselves as a killable
-    child; on expiry emit the structured error line and exit 0."""
+    """Hard wall-clock cap + retry on the WHOLE run. A link that drops
+    mid-measurement hangs the process inside a jax call (rounds 2 and 4
+    lost their official captures to exactly this). Re-run ourselves as a
+    killable child; on hang/crash retry with the remaining budget; if the
+    budget runs dry, publish the child's best-rep-so-far heartbeat as a
+    partial result rather than a null."""
     if os.environ.get("_BENCH_CHILD") == "1":
         return
     import subprocess
     budget = float(os.environ.get("BENCH_RUN_BUDGET_S", "1500"))
-    env = dict(os.environ, _BENCH_CHILD="1")
-    try:
-        rc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                            env=env, timeout=budget).returncode
-    except subprocess.TimeoutExpired:
-        print(json.dumps({
-            "metric": "nand_gate_bootstraps_per_sec_per_chip",
-            "error": "run_timeout",
-            "detail": f"measurement exceeded {budget:.0f} s wall-clock "
-                      "budget (link drop mid-run?)",
-            "value": None, "unit": "gates/s", "vs_baseline": None,
-        }))
-        sys.exit(0)
-    sys.exit(rc)
+    deadline = time.monotonic() + budget
+    result_path = os.path.join(_REPO, ".bench_result.json")
+    hb_path = os.path.join(_REPO, ".bench_heartbeat.json")
+    for p in (result_path, hb_path):
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+    env = dict(os.environ, _BENCH_CHILD="1", _BENCH_RESULT_FILE=result_path,
+               _BENCH_HEARTBEAT_FILE=hb_path)
+    attempt = 0
+    min_slice = float(os.environ.get("_BENCH_MIN_SLICE_S", "600"))
+    min_left = min(90., min_slice / 4)
+    last_error, last_detail = "no_attempt", "watchdog budget too small"
+    while deadline - time.monotonic() >= min_left:
+        attempt += 1
+        remaining = deadline - time.monotonic()
+        # Reserve room for one retry while the budget allows it: the first
+        # attempt gets at most ~60% of a full budget, so a hang still
+        # leaves a warm-restart window (keys + compile cache persist).
+        slice_s = (remaining if remaining < min_slice
+                   else max(min_slice, remaining * .6))
+        try:
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=slice_s).returncode
+        except subprocess.TimeoutExpired:
+            last_error, last_detail = "run_timeout", (
+                f"attempt {attempt} exceeded its {slice_s:.0f} s slice "
+                "(link drop mid-run?)")
+            print(last_detail, file=sys.stderr)
+            continue
+        res = _read_json(result_path)
+        if res is not None and res.get("value") is not None:
+            res["attempts"] = attempt
+            print(json.dumps(res))
+            sys.exit(0)
+        last_error = (res or {}).get("error") or f"child_rc_{rc}"
+        last_detail = (res or {}).get("detail") or (
+            f"attempt {attempt} exited rc={rc} without a result")
+        print(f"attempt {attempt} failed ({last_error}); "
+              f"{deadline - time.monotonic():.0f} s of budget left",
+              file=sys.stderr)
+        time.sleep(min(10, max(0, deadline - time.monotonic() - min_left)))
+    hb = _read_json(hb_path)
+    if hb is not None and hb.get("value"):
+        hb.update(partial=True, attempts=attempt,
+                  error=last_error, detail=last_detail)
+        print(json.dumps(hb))
+    else:
+        print(json.dumps(_error_line(last_error, last_detail,
+                                     attempts=attempt)))
+    sys.exit(0)
 
 
 def main() -> None:
     _watchdog()
     _wait_for_device()
+    # Persistent compilation cache: warm restarts (watchdog retries, later
+    # rounds) skip the multi-minute Pallas/XLA compiles. Must be set before
+    # the first compilation; failures are non-fatal by default.
     import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon plugin ignores the env var alone; force in-process
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from cufhe_tpu import PRESETS, TFHEPP_128, golden as G
     from cufhe_tpu.models import Context, encrypt_bits, decrypt_bits
@@ -106,9 +200,9 @@ def main() -> None:
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     backend = os.environ.get("BENCH_BACKEND", "auto")
     pname = os.environ.get("BENCH_PARAMS", "")
+    hb_path = os.environ.get("_BENCH_HEARTBEAT_FILE")
 
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         f".bench_keys_{pname}.npz" if pname
+    cache = os.path.join(_REPO, f".bench_keys_{pname}.npz" if pname
                          else ".bench_keys_128.npz")
     sk_cache = cache.replace("keys", "sk")
     ek = sk = None
@@ -139,16 +233,41 @@ def main() -> None:
     # the measurement. Bit-identical gates either way.
     fused = os.environ.get("BENCH_FUSED", "0") == "1"
 
-    # warmup/compile (device_get forces real completion; block_until_ready is
-    # not reliable for timing through the axon tunnel)
+    # warmup/compile (device_get forces real completion; block_until_ready
+    # is not reliable for timing through the axon tunnel)
     out = ctx.nand(a, b)
     np.asarray(jax.device_get(out.data))
+    gates_done = 1
     if fused:
         out = ctx.gate_chain("nand", out, b, iters)
         np.asarray(jax.device_get(out.data))
+        gates_done += iters
+
+    def expected_bits(n_gates: int) -> np.ndarray:
+        want = np.asarray(bits0)
+        for _ in range(n_gates):
+            want = 1 - (want & bits1)
+        return want
+
+    def result_line(med_dt: float, reps_done: int, errors: int) -> dict:
+        rate = batch / med_dt
+        return {
+            "metric": _METRIC,
+            "value": round(rate, 2),
+            "unit": "gates/s",
+            "vs_baseline": round(rate / _BASELINE, 4),
+            "batch": batch,
+            "ms_per_batch": round(med_dt * 1e3, 2),
+            "backend": backend,
+            "fused_chain": fused,
+            "params": pname or "tfhepp_128bit",
+            "reps": reps_done,
+            "decrypt_errors": errors,
+            "device": str(jax.devices()[0]),
+        }
 
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    times = []
+    times: list[float] = []
     for r in range(reps):   # median over reps: shared-chip variance ~5-10%
         t0 = time.perf_counter()
         if fused:
@@ -156,34 +275,26 @@ def main() -> None:
         else:
             for _ in range(iters):
                 out = ctx.nand(out, b)  # chain on outputs: device-resident
-        np.asarray(jax.device_get(out.data))
+        host_out = np.asarray(jax.device_get(out.data))
         times.append((time.perf_counter() - t0) / iters)
+        gates_done += iters
+        if hb_path:
+            # Partial artifact: decrypt-check + best-so-far median after
+            # every rep, so a late link drop still yields a real number.
+            errs = int(np.sum(
+                G.decrypt_bit_batch(host_out, sk, level=out.level)
+                != expected_bits(gates_done)))
+            med = sorted(times)[len(times) // 2]
+            _write_json_atomic(hb_path, result_line(med, r + 1, errs))
+            if os.environ.get("_BENCH_HANG_AFTER_REP") == str(r + 1):
+                time.sleep(1e6)  # test hook: simulate a mid-run link hang
     dt = sorted(times)[len(times) // 2]
-    gates_per_sec = batch / dt
 
-    # correctness spot check on the last output (fused mode ran one extra
-    # warmup chain of `iters` gates)
-    total_gates = reps * iters + 1 + (iters if fused else 0)
-    want = list(bits0)
-    for _ in range(total_gates):
-        want = [1 - (x & y) for x, y in zip(want, bits1)]
+    # correctness spot check on the last output
     got = decrypt_bits(out, sk)
-    errors = int(np.sum(got != np.array(want)))
+    errors = int(np.sum(got != expected_bits(gates_done)))
 
-    baseline = 8300.0  # derived A100 batched gates/s (BASELINE.md)
-    print(json.dumps({
-        "metric": "nand_gate_bootstraps_per_sec_per_chip",
-        "value": round(gates_per_sec, 2),
-        "unit": "gates/s",
-        "vs_baseline": round(gates_per_sec / baseline, 4),
-        "batch": batch,
-        "ms_per_batch": round(dt * 1e3, 2),
-        "backend": backend,
-        "fused_chain": fused,
-        "params": pname or "tfhepp_128bit",
-        "decrypt_errors": errors,
-        "device": str(jax.devices()[0]),
-    }))
+    _emit_child_result(result_line(dt, reps, errors))
 
 
 if __name__ == "__main__":

@@ -17,11 +17,15 @@ from typing import Optional
 import numpy as np
 
 from . import golden as G
+from . import rng as rng_mod
 from .params import DEFAULT, GateParams
 from .models.api import Context, Ctxt as _BatchCtxt
 from .runtime.stream import Stream, synchronize as _synchronize
 
-_rng: np.random.Generator = np.random.default_rng()
+# None = "SetSeed never called": key/encryption randomness comes from the
+# OS CSPRNG (rng.SecureRandom). SetSeed(seed) switches to a reproducible
+# PCG64 stream, matching the v1 API's deterministic-testing intent.
+_rng: Optional[rng_mod.RngLike] = None
 _ctx: Optional[Context] = None
 
 
@@ -63,21 +67,22 @@ class Ctxt:
 
 
 def SetSeed(seed: Optional[int] = None) -> None:
-    """Seed the CSPRNG (SetSeed, test_api_gpu.cu:84)."""
+    """Switch to a reproducible RNG stream (SetSeed, test_api_gpu.cu:84).
+    SetSeed() with no argument restores the secure default."""
     global _rng
-    _rng = np.random.default_rng(seed)
+    _rng = None if seed is None else np.random.default_rng(seed)
 
 
 def PriKeyGen(pri_key: PriKey, seed: Optional[int] = None) -> None:
-    pri_key.sk = G.keygen(pri_key.params,
-                          seed=int(_rng.integers(1 << 31))
-                          if seed is None else seed)
+    if seed is None and _rng is not None:
+        seed = int(_rng.integers(1 << 31))
+    pri_key.sk = G.keygen(pri_key.params, seed=seed)
 
 
 def PubKeyGen(pub_key: PubKey, pri_key: PriKey) -> None:
     assert pri_key.sk is not None, "run PriKeyGen first"
-    pub_key.ek = G.make_eval_key(pri_key.sk,
-                                 seed=int(_rng.integers(1 << 31)))
+    seed = int(_rng.integers(1 << 31)) if _rng is not None else None
+    pub_key.ek = G.make_eval_key(pri_key.sk, seed=seed)
     pub_key.params = pri_key.params
 
 
@@ -95,8 +100,11 @@ def Initialize(pub_key: PubKey, backend: str = "auto") -> None:
 
 
 def CleanUp() -> None:
-    """Release server-side key material (CleanUp, cufhe_gpu.cuh:62)."""
+    """Release server-side key material (CleanUp, cufhe_gpu.cuh:62).
+    Device key buffers are freed eagerly, not left to GC."""
     global _ctx
+    if _ctx is not None:
+        _ctx.release_keys()
     _ctx = None
 
 
@@ -107,7 +115,8 @@ def Synchronize() -> None:
 def Encrypt(ct: Ctxt, pt: Ptxt, pri_key: PriKey) -> None:
     from .models.api import encrypt_bits
     assert pri_key.sk is not None
-    ct._c = encrypt_bits([pt.message_], pri_key.sk, _rng)
+    ct._c = encrypt_bits([pt.message_], pri_key.sk,
+                         rng_mod.resolve_rng(rng=_rng))
 
 
 def Decrypt(pt: Ptxt, ct: Ctxt, pri_key: PriKey) -> None:

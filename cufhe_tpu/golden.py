@@ -17,6 +17,7 @@ from typing import Optional
 import numpy as np
 
 from .params import GateParams, KeySwitchParams, LweParams, TrlweParams
+from .rng import RngLike, resolve_rng
 
 U32 = np.uint32
 _MOD = 1 << 32
@@ -37,15 +38,18 @@ class SecretKey:
     lvl1: np.ndarray  # [k1, N]  uint32 in {0,1}
 
 
-def keygen(params: GateParams, seed: int = 0) -> SecretKey:
-    rng = np.random.default_rng(seed)
+def keygen(params: GateParams, seed: Optional[int] = None) -> SecretKey:
+    """Secret keygen. Default (seed=None) draws from the OS CSPRNG
+    (rng.SecureRandom — the USE_RANDEN analogue, CMakeLists.txt:8); pass a
+    seed only for reproducible tests/fixtures."""
+    rng = resolve_rng(seed)
     sk0 = rng.integers(0, 2, size=params.lvl0.dim, dtype=np.uint32)
     sk1 = rng.integers(0, 2, size=(params.lvl1.k, params.lvl1.n),
                        dtype=np.uint32)
     return SecretKey(params, sk0, sk1)
 
 
-def _gaussian_torus(rng: np.random.Generator, alpha: float, shape) -> np.ndarray:
+def _gaussian_torus(rng: RngLike, alpha: float, shape) -> np.ndarray:
     """Modular-Gaussian torus noise (TFHEpp ModularGaussian convention)."""
     if alpha == 0.0:
         return np.zeros(shape, dtype=np.uint32)
@@ -58,8 +62,9 @@ def _gaussian_torus(rng: np.random.Generator, alpha: float, shape) -> np.ndarray
 # ---------------------------------------------------------------------------
 
 def tlwe_encrypt(mu: int, key: np.ndarray, alpha: float,
-                 rng: np.random.Generator) -> np.ndarray:
+                 rng: Optional[RngLike] = None) -> np.ndarray:
     """TLWE sample (a_0..a_{d-1}, b) with b = <a,s> + mu + e."""
+    rng = resolve_rng(rng=rng)
     d = key.shape[0]
     a = rng.integers(0, _MOD, size=d, dtype=np.uint64).astype(np.uint32)
     b = _u32(np.sum(a.astype(np.int64) * key.astype(np.int64)) + int(mu)
@@ -68,13 +73,14 @@ def tlwe_encrypt(mu: int, key: np.ndarray, alpha: float,
 
 
 def tlwe_encrypt_batch(mus: np.ndarray, key: np.ndarray, alpha: float,
-                       rng: np.random.Generator) -> np.ndarray:
+                       rng: Optional[RngLike] = None) -> np.ndarray:
     """Batch TLWE encryption: [B] torus messages -> [B, d+1] samples.
 
     One RNG draw and one matmul for the whole batch — the client-side
     analogue of the reference's per-gate H2D batching. Bit-compatible with
     per-sample tlwe_encrypt (same distribution; different RNG stream
     consumption order)."""
+    rng = resolve_rng(rng=rng)
     mus = np.asarray(mus, dtype=np.uint32)
     d = key.shape[0]
     a = rng.integers(0, _MOD, size=(mus.shape[0], d),
@@ -97,9 +103,10 @@ def tlwe_decrypt(ct: np.ndarray, key: np.ndarray) -> int:
     return 1 if np.int32(tlwe_phase(ct, key)) > 0 else 0
 
 
-def encrypt_bit(bit: int, sk: SecretKey, rng: np.random.Generator,
+def encrypt_bit(bit: int, sk: SecretKey, rng: Optional[RngLike] = None,
                 level: int = 0) -> np.ndarray:
     """Encrypt one bit as ±mu, the test harness convention (test_util.h:16-23)."""
+    rng = resolve_rng(rng=rng)
     p = sk.params
     if level == 0:
         mu = p.lvl0.mu if bit else (-p.lvl0.mu) % _MOD
@@ -114,8 +121,10 @@ def decrypt_bit(ct: np.ndarray, sk: SecretKey, level: int = 0) -> int:
 
 
 def encrypt_bit_batch(bits: np.ndarray, sk: SecretKey,
-                      rng: np.random.Generator, level: int = 0) -> np.ndarray:
+                      rng: Optional[RngLike] = None,
+                      level: int = 0) -> np.ndarray:
     """Encrypt a bit array as ±mu in one batch draw: [B, d+1] uint32."""
+    rng = resolve_rng(rng=rng)
     p = sk.params
     lp = p.lvl0 if level == 0 else p.lvl1
     key = sk.lvl0 if level == 0 else sk.lvl1.reshape(-1)
@@ -176,8 +185,9 @@ def _binary_key_polymul_batch(a: np.ndarray, s: np.ndarray) -> np.ndarray:
 
 
 def trlwe_encrypt_zero_batch(m: int, p: TrlweParams, key: np.ndarray,
-                             rng: np.random.Generator) -> np.ndarray:
+                             rng: Optional[RngLike] = None) -> np.ndarray:
     """m TRLWE encryptions of 0 in one draw: [m, k+1, N] uint32."""
+    rng = resolve_rng(rng=rng)
     N, k = p.n, p.k
     a = rng.integers(0, _MOD, size=(m, k, N),
                      dtype=np.uint64).astype(np.uint32)
@@ -189,8 +199,9 @@ def trlwe_encrypt_zero_batch(m: int, p: TrlweParams, key: np.ndarray,
 
 
 def trlwe_encrypt_zero(p: TrlweParams, key: np.ndarray,
-                       rng: np.random.Generator) -> np.ndarray:
+                       rng: Optional[RngLike] = None) -> np.ndarray:
     """TRLWE encryption of 0: [k+1, N] with b = sum_j a_j*s_j + e."""
+    rng = resolve_rng(rng=rng)
     N, k = p.n, p.k
     a = rng.integers(0, _MOD, size=(k, N), dtype=np.uint64).astype(np.uint32)
     b = np.zeros(N, dtype=np.int64)
@@ -201,7 +212,7 @@ def trlwe_encrypt_zero(p: TrlweParams, key: np.ndarray,
 
 
 def trlwe_encrypt_bits(bits: np.ndarray, p: TrlweParams, key: np.ndarray,
-                       rng: np.random.Generator) -> np.ndarray:
+                       rng: Optional[RngLike] = None) -> np.ndarray:
     """TRLWE encryption of N bits packed into slots as ±mu (the message form
     used by the reference CMUX test, test_cmux.cc:82-141)."""
     ct = trlwe_encrypt_zero(p, key, rng)
@@ -219,13 +230,14 @@ def trlwe_phase(ct: np.ndarray, p: TrlweParams, key: np.ndarray) -> np.ndarray:
 
 
 def trgsw_encrypt(plain: int, p: TrlweParams, key: np.ndarray,
-                  rng: np.random.Generator) -> np.ndarray:
+                  rng: Optional[RngLike] = None) -> np.ndarray:
     """TRGSW of a small integer: [(k+1)l, k+1, N].
 
     Row j*l+d adds plain * 2^(32-(d+1)Bgbit) on component j (the gadget),
     matching TFHEpp's convention used by the BK (bootstrap_gpu.cu:111-143,
     Accumulate MAC layout gatebootstrapping_gpu.cuh:206-222).
     """
+    rng = resolve_rng(rng=rng)
     rows = []
     for j in range(p.k + 1):
         for d in range(p.l):
@@ -254,13 +266,15 @@ class EvalKey:
     ksk: np.ndarray
 
 
-def make_eval_key(sk: SecretKey, seed: int = 1) -> EvalKey:
+def make_eval_key(sk: SecretKey, seed: Optional[int] = None) -> EvalKey:
     """Vectorized keygen: all n0*(k+1)*l BK zero-TRLWEs and all d1*t*numbase
     KSK samples are drawn/combined as single batched operations (seconds for
     the 128-bit set vs minutes with per-sample loops). Semantics match the
-    scalar trgsw_encrypt/tlwe_encrypt path (same distributions)."""
+    scalar trgsw_encrypt/tlwe_encrypt path (same distributions).
+
+    Default (seed=None) draws from the OS CSPRNG; seed only for tests."""
     p = sk.params
-    rng = np.random.default_rng(seed)
+    rng = resolve_rng(seed)
     n0 = p.lvl0.dim
     lp = p.lvl1
     k, l, N = lp.k, lp.l, lp.n

@@ -22,6 +22,7 @@ import numpy as np
 from .. import golden as G
 from ..ops import bootstrap as B
 from ..ops import keys as K
+from ..rng import resolve_rng
 from ..params import GateParams
 from ..parallel import mesh as M
 from .gates import GATE_CONSTANTS
@@ -49,8 +50,10 @@ def encrypt_bits(bits: Sequence[int], sk: G.SecretKey,
                  rng: Optional[np.random.Generator] = None,
                  level: int = 0) -> Ctxt:
     """Encrypt a list/array of bits into a ciphertext batch (client side).
-    One RNG draw + one matmul for the whole batch (encrypt_bit_batch)."""
-    rng = rng or np.random.default_rng()
+    One RNG draw + one matmul for the whole batch (encrypt_bit_batch).
+    Default randomness is the OS CSPRNG (rng.SecureRandom); pass a seeded
+    Generator only for reproducible tests."""
+    rng = resolve_rng(rng=rng)
     return Ctxt(jnp.asarray(G.encrypt_bit_batch(bits, sk, rng, level=level)),
                 level)
 
@@ -117,6 +120,92 @@ class Context:
         if dev not in self._dev_keys:
             self._dev_keys[dev] = jax.device_put(self.keys, dev)
         return self._dev_keys[dev]
+
+    # Which DeviceKeys fields each backend's compute path consumes (the
+    # unit of selective release/re-preparation). "ksk" = every gate's KSK.
+    _BACKEND_KEY_FIELDS = {
+        "conv": ("bk_filters",),
+        "toeplitz": ("bk_limbs",),
+        "pallas": ("bk_wext", "bk_prebands"),
+        "pallas3": ("bk_wext", "bk_prebands"),
+        "ntt": ("bk_ntt", "bk_ntt_shoup"),
+        "ksk": ("ksk_limbs", "ksk_limbs_sei"),
+    }
+    _KEY_PLACEHOLDER_DTYPES = {
+        "bk_filters": np.int8, "bk_limbs": np.int8, "bk_wext": np.int8,
+        "bk_ntt": np.uint32, "bk_ntt_shoup": np.uint32,
+    }
+
+    def release_keys(self, backends: Optional[Sequence[str]] = None) -> None:
+        """Free device key material NOW (the DeleteBootstrappingKeyNTT /
+        DeleteKeySwitchingKey analogue, bootstrap_gpu.cuh:50-165,
+        keyswitch_gpu.cuh:190-196) instead of waiting for Python GC — a
+        long-lived server swapping presets must not hold two key sets.
+
+        backends=None frees everything (keyswitch keys included); or pass
+        backend names to free selectively — e.g. ("pallas",) drops the
+        pre-rotated wext (~1.5-2.25 GB HBM at the 128-bit set, the
+        dominant key cost; docs/DESIGN.md key-memory table) while conv
+        gates stay live. Gates on a released backend fail until
+        prepare_backend() restores it.
+        """
+        if backends is None:
+            fields = {f.name for f in dataclasses.fields(self.keys)}
+        else:
+            fields = set()
+            for b in backends:
+                if b not in self._BACKEND_KEY_FIELDS:
+                    raise ValueError(f"unknown backend {b!r}")
+                fields |= set(self._BACKEND_KEY_FIELDS[b])
+        # stream-device replicas hold their own buffers: always drop them
+        for rep in self._dev_keys.values():
+            for leaf in jax.tree_util.tree_leaves(rep):
+                leaf.delete()
+        self._dev_keys = {}
+        updates = {}
+        for name in fields:
+            for leaf in jax.tree_util.tree_leaves(getattr(self.keys, name)):
+                if leaf.size:
+                    leaf.delete()
+            if name == "bk_prebands":
+                updates[name] = ()
+            else:
+                dt = self._KEY_PLACEHOLDER_DTYPES.get(name)
+                updates[name] = jnp.zeros(
+                    (0,), dtype=dt if dt is not None else
+                    getattr(self.keys, name).dtype)
+        self.keys = dataclasses.replace(self.keys, **updates)
+
+    def prepare_backend(self, ek: G.EvalKey, backend: str = "auto") -> None:
+        """(Re-)materialize one backend's key format from the host
+        EvalKey and merge it into this Context — the inverse of a
+        selective release_keys(); also restores the keyswitch keys if a
+        full release dropped them."""
+        resolved = B.resolve_backend(backend, self.params)
+        fresh = K.prepare_keys(ek, backends=(resolved,))
+        if self.mesh is not None:
+            fresh = M.replicate(fresh, self.mesh)
+        names = set(self._BACKEND_KEY_FIELDS[resolved])
+        if not self.keys.ksk_limbs.size:
+            names |= set(self._BACKEND_KEY_FIELDS["ksk"])
+        self.keys = dataclasses.replace(
+            self.keys, **{n: getattr(fresh, n) for n in names})
+        self.backend = backend
+
+    def reinitialize(self, ek: G.EvalKey, backend: str = "auto") -> None:
+        """Preset swap for a long-lived server: free every device key of
+        the current parameter set, then initialize from a new EvalKey (may
+        use different params). Compiled programs for the old set are
+        dropped; ciphertexts from the old Context are invalid."""
+        self.release_keys()
+        self.params = ek.params
+        self.backend = backend
+        resolved = B.resolve_backend(backend, ek.params)
+        keys = K.prepare_keys(ek, backends=(resolved,))
+        self.keys = M.replicate(keys, self.mesh) \
+            if self.mesh is not None else keys
+        self._cache = {}
+        self._dev_keys = {}
 
     def _jit(self, key, fn, batch_argnums=None):
         """jit `fn`; with a mesh and batch_argnums, first wrap it in

@@ -41,6 +41,7 @@ import numpy as np
 
 from .. import golden as G
 from ..ops import bootstrap as B
+from ..rng import resolve_rng
 from .api import Context, Ctxt
 
 U32 = jnp.uint32
@@ -136,7 +137,7 @@ def encrypt_uint(values: Sequence[int], bits: int, sk: G.SecretKey,
                  codec: IntCodec = IntCodec(),
                  rng: Optional[np.random.Generator] = None) -> IntCtxt:
     """Encrypt a batch of unsigned integers (client side)."""
-    rng = rng or np.random.default_rng()
+    rng = resolve_rng(rng=rng)
     D = codec.digits_for(bits)
     m = codec.msg_bits
     digs = np.array([[(int(val) >> (m * d)) & (codec.base - 1)
