@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--chain", type=int, default=4)
     ap.add_argument("--params", default="tfhepp_128bit")
     ap.add_argument("--msg-bits", type=int, default=1)
+    ap.add_argument("--buf-bits", type=int, default=None,
+                    help="carry-buffer bits (default msg_bits+1; the "
+                         "multiplier at msg_bits>=2 needs 2*msg_bits)")
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--mul-bits", type=int, default=0,
                     help="also bench the fused multiplier at this width "
@@ -51,6 +54,11 @@ def main():
                     help="also bench fused restoring divmod at this width "
                          "(0 = skip; quotients/remainders are verified)")
     args = ap.parse_args()
+    if (args.mul_bits and args.msg_bits >= 2
+            and (args.buf_bits or args.msg_bits + 1) < 2 * args.msg_bits):
+        ap.error(f"--mul-bits at --msg-bits {args.msg_bits} needs "
+                 f"--buf-bits >= {2 * args.msg_bits} (bivariate "
+                 "digit-product phase space)")
 
     import jax
 
@@ -62,7 +70,7 @@ def main():
 
     params = PRESETS[args.params]
     sk, ek = load_or_make_bench_keys(params.name)
-    codec = IntCodec(msg_bits=args.msg_bits)
+    codec = IntCodec(msg_bits=args.msg_bits, buf_bits=args.buf_bits)
     ictx = IntContext(Context(ek, backend=args.backend), codec)
 
     rng = np.random.default_rng(17)
@@ -168,12 +176,38 @@ def main():
         _force(q.digits[:, -1])                 # thin completion barrier
         ddt = time.perf_counter() - t0
         gq, gr = decrypt_uint(q, sk), decrypt_uint(r, sk)
+        # division digit margin: the trial-sub inputs (select-output
+        # remainder + comp(y) + carry) are noisier than the adder's
+        # (ADVICE r4) — measure the OUTPUT digit noise of q and r directly
+        derrs = []
+        for ic, want_vals in ((q, [a // b for a, b in zip(dxs, dys)]),
+                              (r, [a % b for a, b in zip(dxs, dys)])):
+            ddata = _force(ic.digits)
+            for i, row in enumerate(ddata):
+                for dgt in range(row.shape[0]):
+                    ph = int(G.tlwe_phase(row[dgt], sk.lvl0))
+                    wv = ((want_vals[i] >> (codec.msg_bits * dgt))
+                          & (codec.base - 1))
+                    diff = (ph - wv * codec.delta) % (1 << 32)
+                    derrs.append(diff - (1 << 32) if diff >= 1 << 31
+                                 else diff)
+        dstd = float(np.std(derrs))
+        # next-op margin if a div output digit feeds an adder input
+        lp = params.lvl1
+        dms_var = params.lvl0.dim / 2 * (1 << (32 - lp.nbit)) ** 2 / 12
+        dsig_in = float(np.sqrt(3 * dstd ** 2 + dms_var))
+        # per quotient digit: (base-1) trial subs + base-way select over
+        # W=(D+1) digits (m=1: 3*D*(D+1))
+        div_rots = (2 * codec.base - 1) * Dd * (Dd + 1)
         div_stats = {
             "div_bits": db,
             "divs_per_sec": round(B / ddt, 1),
             "ms_per_div_batch": round(ddt * 1e3, 1),
-            # per quotient bit: (D+1)-digit trial sub + 2(D+1) select
-            "div_rotations_per_sec": round(3 * Dd * (Dd + 1) * B / ddt, 1),
+            "div_rotations_per_sec": round(div_rots * B / ddt, 1),
+            "div_digit_noise_std_log2":
+                round(float(np.log2(dstd)), 2) if dstd else None,
+            "div_next_add_margin_sigmas":
+                round((codec.delta / 2) / dsig_in, 2) if dsig_in else None,
             "div_word_errors":
                 sum(int(g != a // b) + int(h != a % b)
                     for g, h, a, b in zip(gq, gr, dxs, dys)),

@@ -39,6 +39,21 @@ MARGIN_FLOORS = {
     "cggi19": 10.0,              # measured 14.2 (pallas depth-1 path)
 }
 
+#: Integer-layer (PBS adder) digit-margin floors, sigmas of the next-add
+#: LUT decision margin (measured 4.76 at msg_bits=1 in round 4, ~9e-6
+#: failure tail per rotation). A kernel/schedule change eroding this
+#: silently would corrupt encrypted-integer arithmetic long before the
+#: gate margins noticed (gates sit at 6.3 sigma).
+INT_MARGIN_FLOORS = {
+    "tfhepp_128bit": 4.5,        # measured 4.76
+}
+
+
+def margin_ok(sigmas, floor) -> bool:
+    """The red-gate predicate (kept trivial so it is unit-testable:
+    tests/test_noise_gate.py feeds it an intentionally-broken config)."""
+    return floor is None or sigmas is None or sigmas >= floor
+
 
 def load_keys(params):
     """Load or create the cached key pair for a preset (stale-fingerprint
@@ -102,6 +117,60 @@ def measure_noise(params, backend: str = "auto", batch: int = 2048,
             round(mu / (2 * np.sqrt(2) * std), 2) if std else None,
         "xor_of_bootstrapped_errors": x_errors,
         "xor_noise_std_log2": round(float(np.log2(xn.std())), 2),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def measure_int_adder_noise(params, backend: str = "auto", batch: int = 256,
+                            bits: int = 32, msg_bits: int = 1,
+                            ek=None, sk=None) -> dict:
+    """Integer-layer digit noise: one fused ripple add, then the phase
+    error of every output digit and the implied NEXT-add LUT margin
+    (input = three fresh digits + theta=1 mod-switch; models/integers.py
+    noise budget). Importable: suite.py gates red on INT_MARGIN_FLOORS."""
+    import jax
+
+    from cufhe_tpu import golden as G
+    from cufhe_tpu.models import (Context, IntCodec, IntContext,
+                                  encrypt_uint)
+
+    if ek is None or sk is None:
+        ek, sk = load_keys(params)
+    codec = IntCodec(msg_bits=msg_bits)
+    ictx = IntContext(Context(ek, backend=backend), codec)
+    rng = np.random.default_rng(19)
+    mod = 1 << bits
+    D = codec.digits_for(bits)
+    m = codec.msg_bits
+    xs = [int(v) for v in rng.integers(0, mod, batch, dtype=np.uint64)]
+    ys = [int(v) for v in rng.integers(0, mod, batch, dtype=np.uint64)]
+    s = ictx.add(encrypt_uint(xs, bits, sk, codec, rng=rng),
+                 encrypt_uint(ys, bits, sk, codec, rng=rng))
+    data = np.asarray(jax.device_get(s.digits))
+    want = [(a + b) % mod for a, b in zip(xs, ys)]
+    errs, bad = [], 0
+    for i, row in enumerate(data):
+        for dgt in range(D):
+            ph = int(G.tlwe_phase(row[dgt], sk.lvl0))
+            wv = (want[i] >> (m * dgt)) & (codec.base - 1)
+            diff = (ph - wv * codec.delta) % (1 << 32)
+            if diff >= 1 << 31:
+                diff -= 1 << 32
+            errs.append(diff)
+            got_v = int(round(ph / codec.delta)) % (1 << (codec.buf_bits + 1))
+            bad += int((got_v & (codec.base - 1)) != wv)
+    std = float(np.std(errs))
+    lp = params.lvl1
+    ms_var = params.lvl0.dim / 2 * (1 << (32 - lp.nbit)) ** 2 / 12
+    sigma_in = float(np.sqrt(3 * std ** 2 + ms_var))
+    margin = (codec.delta / 2) / sigma_in if sigma_in else float("inf")
+    return {
+        "metric": "int_adder_digit_noise",
+        "params": params.name, "backend": backend, "batch": batch,
+        "bits": bits, "msg_bits": m,
+        "digit_noise_std_log2": round(float(np.log2(std)), 2) if std else None,
+        "digit_errors": bad,
+        "next_add_margin_sigmas": round(margin, 2),
         "device": str(jax.devices()[0]),
     }
 

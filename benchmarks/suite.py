@@ -217,7 +217,8 @@ def main():
 
     margin_fail = 0
     if "noise" in sections:
-        from noise import MARGIN_FLOORS, measure_noise
+        from noise import (INT_MARGIN_FLOORS, MARGIN_FLOORS, margin_ok,
+                           measure_int_adder_noise, measure_noise)
         rec = measure_noise(params, args.backend, batch=max(B, 2048),
                             ek=ek, sk=sk)
         rec["section"] = "noise"
@@ -230,9 +231,27 @@ def main():
         xerr = rec["xor_of_bootstrapped_errors"]
         print(f"noise    margin   {sig} sigma (floor {floor}), "
               f"xor errors {xerr}")
-        if xerr or (floor is not None and sig is not None and sig < floor):
+        if xerr or not margin_ok(sig, floor):
             margin_fail = 1
             print("NOISE MARGIN REGRESSION — failing red", file=sys.stderr)
+        # integer-layer digit margin (the PBS adder sits ~1.5 sigma below
+        # the gates; a regression shows here first)
+        irec = measure_int_adder_noise(params, args.backend, ek=ek, sk=sk)
+        irec["section"] = "noise"
+        ifloor = INT_MARGIN_FLOORS.get(params.name)
+        irec["margin_floor_sigmas"] = ifloor
+        results.append(irec)
+        with open(out_path, "a") as f:
+            f.write(json.dumps(irec) + "\n")
+        isig = irec["next_add_margin_sigmas"]
+        print(f"noise    int-add  {isig} sigma (floor {ifloor}), "
+              f"digit errors {irec['digit_errors']}")
+        # digit_errors tolerance 5: the 4.76-sigma tail (~9e-6/rotation)
+        # makes the occasional single error expected at this sample size
+        if irec["digit_errors"] > 5 or not margin_ok(isig, ifloor):
+            margin_fail = 1
+            print("INTEGER NOISE MARGIN REGRESSION — failing red",
+                  file=sys.stderr)
 
     total_err = sum(r.get("errors", 0) for r in results)
     print(f"\n{len(results)} measurements -> {out_path}; "

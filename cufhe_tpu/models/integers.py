@@ -218,6 +218,40 @@ class IntContext:
         #: bivariate AND of two 1-bit digits (t = u + v == 2)
         self._tv_and2 = jnp.asarray(build_tv(
             [_enc_vals((vs >= 2).astype(np.uint32), codec)], b, N))
+        #: scaled select for msg_bits >= 2: t = 2*digit + flag, flag odd ->
+        #: the digit, else 0 (t <= 2*base - 1 < 2^b always fits)
+        self._tv_sel = jnp.asarray(build_tv(
+            [_enc_vals(np.where((vs & 1) == 1, vs >> 1, 0), codec)], b, N))
+        #: the select table actually used by _select_digits (m=1 keeps the
+        #: unscaled bivariate-AND form: lowest noise, the measured margin)
+        self._tv_pick = self._tv_and2 if m == 1 else self._tv_sel
+        if m >= 2:
+            #: amount-digit -> bits: J=m interleaved LUTs, one rotation
+            self._tv_bits = jnp.asarray(build_tv(
+                [_enc_vals((vs >> j) & 1, codec) for j in range(m)], b, N))
+            #: one-bit left shift: lo=(2v) mod base, hi=top bit (carry up)
+            self._tv_sh1l = jnp.asarray(build_tv(
+                [_enc_vals((vs << 1) & (codec.base - 1), codec),
+                 _enc_vals((vs >> (m - 1)) & 1, codec)], b, N))
+            #: one-bit right shift: lo=v>>1, hi=low bit moved to the top
+            self._tv_sh1r = jnp.asarray(build_tv(
+                [_enc_vals((vs & (codec.base - 1)) >> 1, codec),
+                 _enc_vals((vs & 1) << (m - 1), codec)], b, N))
+            #: top-bit flip of a clean digit (signed<->unsigned order map)
+            self._tv_flip = jnp.asarray(build_tv(
+                [_enc_vals((vs ^ (codec.base >> 1)) & (codec.base - 1),
+                           codec)], b, N))
+        else:
+            self._tv_bits = self._tv_sh1l = self._tv_sh1r = self._tv_sel
+        if codec.buf_bits >= 2 * m:
+            #: bivariate digit product (t = base*x + y): lo/hi digits of
+            #: x*y from one rotation — needs 2m bits of phase space
+            xv, yv = (vs >> m) & (codec.base - 1), vs & (codec.base - 1)
+            self._tv_mul = jnp.asarray(build_tv(
+                [_enc_vals((xv * yv) & (codec.base - 1), codec),
+                 _enc_vals((xv * yv) >> m, codec)], b, N))
+        else:
+            self._tv_mul = None
 
     # -- helpers ---------------------------------------------------------
     def _check(self, *xs: IntCtxt):
@@ -372,20 +406,7 @@ class IntContext:
             t = (xd + self._comp_digits(yd)).reshape(Bt * D, n0 + 1)
             ind = B.pbs_many(t, tv_ne, 1, keys, p, bk,
                              theta=0)[0].reshape(Bt, D, n0 + 1)
-            cols = [ind[:, i] for i in range(D)]
-            while len(cols) > 1:                   # OR tree
-                nxt = []
-                pairs = []
-                for i in range(0, len(cols) - 1, 2):
-                    pairs.append(cols[i] + cols[i + 1])
-                if len(cols) % 2:
-                    nxt.append(cols[-1])
-                if pairs:
-                    tt = jnp.concatenate(pairs, axis=0)
-                    ors = B.pbs_many(tt, tv_or, 1, keys, p, bk, theta=0)[0]
-                    nxt = list(ors.reshape(len(pairs), Bt, n0 + 1)) + nxt
-                cols = nxt
-            ne = cols[0]
+            ne = self._or_digits([ind[:, i] for i in range(D)], tv_or, keys)
             eq_digit = jnp.negative(ne).at[:, n0].add(d)   # 1 - v
             return eq_digit
 
@@ -399,44 +420,53 @@ class IntContext:
 
     # -- select / min / max ----------------------------------------------
     def select(self, cond: Ctxt, x: IntCtxt, y: IntCtxt) -> IntCtxt:
-        """cond ? x : y, digitwise (msg_bits=1): each output digit is
-        (s AND x_d) + (NOT s AND y_d) — the two bivariate AND rotations of
-        EVERY digit share one batched dispatch, and the results sum
-        LINEARLY (exactly one term is nonzero, so the sum IS the selected
-        value). Cost: 2 rotations/digit + 1/word (the cond bridge).
-        Output digit noise is sqrt(2) x fresh (a linear add of two
+        """cond ? x : y, digitwise: each output digit is
+        (s PICK x_d) + (NOT s PICK y_d) — the two rotation sets of EVERY
+        digit share one batched dispatch, and the results sum LINEARLY
+        (exactly one term is nonzero, so the sum IS the selected value).
+        Cost: 2 rotations/digit + 1/word (the cond bridge). For msg_bits=1
+        output digit noise is sqrt(2) x fresh (a linear add of two
         bootstrap outputs); the next adder input margin drops
-        4.76 -> ~4.3 sigma, fine for chaining.
+        4.76 -> ~4.3 sigma, fine for chaining. msg_bits>=2 uses the
+        scaled pick (t = 2*digit + flag; _select_digits).
 
         `cond` is a gate-domain bool (Ctxt, phase +-mu) broadcast over all
         digits of each word."""
         self._check(x, y)
-        if self.codec.msg_bits != 1:
-            raise NotImplementedError("select is implemented for msg_bits=1")
         # A gate bool (phase +-mu0) cannot be rescaled DOWN to digit scale
         # linearly (mu0 = 2^29 is not invertible mod 2^32), so one
         # bootstrap bridges cond to a clean {0,1} digit — amortized over
-        # every digit of the word. Then both AND rotations of every digit
+        # every digit of the word. Then both rotation sets of every digit
         # share one batched dispatch and the results sum linearly.
         sdig = self.bool_to_digit(cond)                   # [B, n0+1]
 
-        def run2(sd, xd, yd, tv_and, keys):
-            return self._select_digits(sd, xd, yd, tv_and, keys)
+        def run2(sd, xd, yd, tv_pick, keys):
+            return self._select_digits(sd, xd, yd, tv_pick, keys)
 
         prog = self.ctx._jit(("int_select", self.codec), run2,
                              batch_argnums=(0, 1, 2))
-        out = prog(sdig, x.digits, y.digits, self._tv_and2, self.ctx.keys)
+        out = prog(sdig, x.digits, y.digits, self._tv_pick, self.ctx.keys)
         return IntCtxt(out, self.codec)
 
     # -- signed views (two's complement) -----------------------------------
     def _flip_msb(self, x: IntCtxt) -> IntCtxt:
-        """Add 2^(bits-1) mod 2^bits: for msg_bits=1 the top digit's bit
-        flip is the linear digit complement (negate + constant) — free and
-        exact. Maps signed order onto unsigned order."""
-        if self.codec.msg_bits != 1:
-            raise NotImplementedError(
-                "signed ops are implemented for msg_bits=1")
-        top = self._comp_digits(x.digits[:, -1:])
+        """Add 2^(bits-1) mod 2^bits: maps signed order onto unsigned
+        order. For msg_bits=1 the top digit's bit flip is the linear digit
+        complement (negate + constant) — free and exact. For msg_bits>=2
+        the top BIT of the top digit flips via one LUT rotation per word
+        (v XOR base/2 is not linear on the torus digit encoding)."""
+        if self.codec.msg_bits == 1:
+            top = self._comp_digits(x.digits[:, -1:])
+        else:
+            p, bk = self.ctx.params, self.ctx.backend
+
+            def run(td, tv, keys):
+                return B.pbs_many(td, tv, 1, keys, p, bk, theta=0)[0]
+
+            prog = self.ctx._jit(("int_flip", self.codec), run,
+                                 batch_argnums=(0,))
+            top = prog(x.digits[:, -1], self._tv_flip,
+                       self.ctx.keys)[:, None, :]
         return IntCtxt(jnp.concatenate([x.digits[:, :-1], top], axis=1),
                        x.codec)
 
@@ -549,20 +579,96 @@ class IntContext:
 
         return run
 
-    def _select_digits(self, g, a, b_, tv_and, keys):
+    def _mul_prog_multi(self, D: int):
+        """Schoolbook product for msg_bits >= 2 (needs buf_bits >= 2m):
+        each partial-product row is a bivariate LUT t = base*x_d + y_r
+        whose ONE rotation yields both the lo and hi digits of x_d * y_r;
+        lo and the digit-shifted hi accumulate through a fused two-addend
+        ripple (t = acc + lo + hi + c < 3*base + carry <= 2^b)."""
+        p, bk = self.ctx.params, self.ctx.backend
+        n0 = p.lvl0.dim
+        base = self.codec.base
+
+        def run(xd, yd, tv_mul, tv_add, keys):
+            Bt = xd.shape[0]
+            acc0 = jnp.zeros((Bt, 2 * D, n0 + 1), U32)
+
+            def ripple2(acc, add1, add2):
+                c0 = jnp.zeros((Bt, n0 + 1), U32)
+
+                def body(c, auv):
+                    a, u, v = auv
+                    sc = B.pbs_many(a + u + v + c, tv_add, 2, keys, p, bk,
+                                    theta=1)
+                    return sc[1], sc[0]
+
+                _, sums = jax.lax.scan(
+                    body, c0, (jnp.moveaxis(acc, 1, 0),
+                               jnp.moveaxis(add1, 1, 0),
+                               jnp.moveaxis(add2, 1, 0)))
+                return jnp.moveaxis(sums, 0, 1)
+
+            def row_body(acc, inp):
+                yr, r = inp
+                t = (xd * U32(base) + yr[:, None, :]).reshape(Bt * D,
+                                                              n0 + 1)
+                lo, hi = B.pbs_many(t, tv_mul, 2, keys, p, bk, theta=1)
+                z = jnp.zeros((Bt, 2 * D, n0 + 1), U32)
+                lo_sh = jax.lax.dynamic_update_slice(
+                    z, lo.reshape(Bt, D, n0 + 1), (0, r, 0))
+                hi_sh = jax.lax.dynamic_update_slice(
+                    z, hi.reshape(Bt, D, n0 + 1), (0, r + 1, 0))
+                return ripple2(acc, lo_sh, hi_sh), None
+
+            acc, _ = jax.lax.scan(row_body, acc0,
+                                  (jnp.moveaxis(yd, 1, 0), jnp.arange(D)))
+            return acc
+
+        return run
+
+    def _select_digits(self, g, a, b_, tv_pick, keys):
         """Digitwise g ? a : b_ where g is a CLEAN {0,1} digit [B, n0+1]
         (no gate-bool bridge needed) and a/b_ are [B, W, n0+1]. Both
-        bivariate-AND rotation sets share one pbs_many call; the results
-        sum linearly (exactly one term per digit is nonzero)."""
+        rotation sets share one pbs_many call; the results sum linearly
+        (exactly one term per digit is nonzero).
+
+        msg_bits=1 uses the bivariate-AND form t = digit + flag (lowest
+        noise: both fresh); msg_bits>=2 uses the scaled form
+        t = 2*digit + flag with the odd-selector LUT (t < 2^b always)."""
         p, bk = self.ctx.params, self.ctx.backend
         n0 = p.lvl0.dim
         Bt, W = a.shape[0], a.shape[1]
         ns = jnp.negative(g).at[:, n0].add(U32(self.codec.delta))
-        t1 = (a + g[:, None, :]).reshape(Bt * W, n0 + 1)
-        t0 = (b_ + ns[:, None, :]).reshape(Bt * W, n0 + 1)
+        if self.codec.msg_bits == 1:
+            t1 = (a + g[:, None, :]).reshape(Bt * W, n0 + 1)
+            t0 = (b_ + ns[:, None, :]).reshape(Bt * W, n0 + 1)
+        else:
+            t1 = (a * U32(2) + g[:, None, :]).reshape(Bt * W, n0 + 1)
+            t0 = (b_ * U32(2) + ns[:, None, :]).reshape(Bt * W, n0 + 1)
         both = jnp.concatenate([t1, t0], axis=0)
-        r = B.pbs_many(both, tv_and, 1, keys, p, bk, theta=0)[0]
+        r = B.pbs_many(both, tv_pick, 1, keys, p, bk, theta=0)[0]
         return (r[:Bt * W] + r[Bt * W:]).reshape(Bt, W, n0 + 1)
+
+    def _or_digits(self, cols, tv_or, keys):
+        """OR-tree over clean {0,1} digit ciphertexts [B, n0+1]: each
+        round batches every pair's t = u + v rotation into one pbs_many
+        call (the eq() OR tree, factored for reuse)."""
+        p, bk = self.ctx.params, self.ctx.backend
+        n0 = p.lvl0.dim
+        cols = list(cols)
+        while len(cols) > 1:
+            nxt, pairs = [], []
+            for i in range(0, len(cols) - 1, 2):
+                pairs.append(cols[i] + cols[i + 1])
+            if len(cols) % 2:
+                nxt.append(cols[-1])
+            if pairs:
+                tt = jnp.concatenate(pairs, axis=0)
+                ors = B.pbs_many(tt, tv_or, 1, keys, p, bk, theta=0)[0]
+                nxt = list(ors.reshape(len(pairs), cols[0].shape[0],
+                                       n0 + 1)) + nxt
+            cols = nxt
+        return cols[0]
 
     def _div_prog(self, D: int):
         p, bk = self.ctx.params, self.ctx.backend
@@ -609,21 +715,110 @@ class IntContext:
 
         return run
 
+    def _ripple_sub(self, minu, comp_sub, tv_add, keys):
+        """minu - sub = minu + comp_sub + 1 rippled over the digit axis;
+        returns (difference [Bt, W, n0+1], ge carry [Bt, n0+1]) — the
+        final carry is the (minu >= sub) indicator."""
+        p, bk = self.ctx.params, self.ctx.backend
+        n0 = p.lvl0.dim
+        Bt = minu.shape[0]
+        c0 = jnp.zeros((Bt, n0 + 1), U32).at[:, n0].add(
+            U32(self.codec.delta))
+
+        def body(c, ab):
+            a, b_ = ab
+            sc = B.pbs_many(a + b_ + c, tv_add, 2, keys, p, bk, theta=1)
+            return sc[1], sc[0]
+
+        ge, diffs = jax.lax.scan(body, c0, (jnp.moveaxis(minu, 1, 0),
+                                            jnp.moveaxis(comp_sub, 1, 0)))
+        return jnp.moveaxis(diffs, 0, 1), ge
+
+    def _div_prog_multi(self, D: int):
+        """Restoring division with radix-2^m quotient DIGITS: per step,
+        the base-1 multiples j*y (precomputed once with exact homomorphic
+        ripple adds) are trial-subtracted from the shifted remainder in
+        one batched scan; the quotient digit is the LINEAR sum of the
+        monotone ge_j flags, and the next remainder is a one-hot select
+        over the base candidates (e_j = ge_j - ge_{j+1} is an exact linear
+        {0,1} combination)."""
+        p, bk = self.ctx.params, self.ctx.backend
+        n0 = p.lvl0.dim
+        base = self.codec.base
+        W = D + 1                                  # remainder register
+
+        def run(xd, yd, tv_add, tv_sel, keys):
+            Bt = xd.shape[0]
+            zero_d = jnp.zeros((Bt, 1, n0 + 1), U32)
+            yW = jnp.concatenate([yd, zero_d], axis=1)
+            mults = [yW]
+            c0 = jnp.zeros((Bt, n0 + 1), U32)
+            for _ in range(2, base):               # j*y, exact W-digit adds
+
+                def body(c, ab):
+                    a, b_ = ab
+                    sc = B.pbs_many(a + b_ + c, tv_add, 2, keys, p, bk,
+                                    theta=1)
+                    return sc[1], sc[0]
+
+                _, sums = jax.lax.scan(
+                    body, c0, (jnp.moveaxis(mults[-1], 1, 0),
+                               jnp.moveaxis(yW, 1, 0)))
+                mults.append(jnp.moveaxis(sums, 0, 1))
+            comp_m = jnp.stack([self._comp_digits(mj) for mj in mults])
+            comp_flat = comp_m.reshape((base - 1) * Bt, W, n0 + 1)
+
+            def step(r, xdig):
+                r2 = jnp.concatenate([xdig[:, None, :], r[:, :D]], axis=1)
+                r2t = jnp.broadcast_to(
+                    r2[None], (base - 1, Bt, W, n0 + 1)).reshape(
+                        (base - 1) * Bt, W, n0 + 1)
+                diffs, ges = self._ripple_sub(r2t, comp_flat, tv_add, keys)
+                diffs = diffs.reshape(base - 1, Bt, W, n0 + 1)
+                ges = ges.reshape(base - 1, Bt, n0 + 1)
+                qd = ges.sum(axis=0)               # linear: value in [0,b)
+                one = jnp.zeros((Bt, n0 + 1), U32).at[:, n0].add(
+                    U32(self.codec.delta))
+                e = ([one - ges[0]]
+                     + [ges[j] - ges[j + 1] for j in range(base - 2)]
+                     + [ges[base - 2]])
+                cands = jnp.concatenate([r2[None], diffs], axis=0)
+                es = jnp.stack(e)                  # [base, Bt, n0+1]
+                t = (cands * U32(2)
+                     + es[:, :, None, :]).reshape(base * Bt * W, n0 + 1)
+                terms = B.pbs_many(t, tv_sel, 1, keys, p, bk, theta=0)[0]
+                r_next = terms.reshape(base, Bt, W, n0 + 1).sum(axis=0)
+                return r_next, qd
+
+            r0 = jnp.zeros((Bt, W, n0 + 1), U32)
+            xs_hi_first = jnp.moveaxis(xd, 1, 0)[::-1]
+            r, qds = jax.lax.scan(step, r0, xs_hi_first)
+            q = jnp.moveaxis(qds[::-1], 0, 1)
+            return q, r[:, :D]
+
+        return run
+
     def divmod_(self, x: IntCtxt, y: IntCtxt) -> tuple:
         """Restoring division, ONE dispatch: returns (x // y, x % y).
-        msg_bits=1 only. Per quotient bit: one (D+1)-digit trial
-        subtraction + one digitwise select, all inside a lax.scan —
-        ~3*D^2 rotations per divide, one dispatch total. Division by an
-        encrypted zero follows the restoring-hardware convention:
+        msg_bits=1: per quotient bit, one (D+1)-digit trial subtraction +
+        one digitwise select, all inside a lax.scan — ~3*D^2 rotations per
+        divide. msg_bits>=2: radix-2^m quotient digits via base-1 batched
+        trial subtractions + a one-hot select (_div_prog_multi). Division
+        by an encrypted zero follows the restoring-hardware convention:
         quotient = 2^bits - 1, remainder = x."""
         self._check(x, y)
-        if self.codec.msg_bits != 1:
-            raise NotImplementedError("divmod_ is implemented for msg_bits=1")
         D = x.ndigits
-        prog = self.ctx._jit(("int_div", self.codec, D), self._div_prog(D),
-                             batch_argnums=(0, 1))
-        q, r = prog(x.digits, y.digits, self._tv_add, self._tv_and2,
-                    self.ctx.keys)
+        if self.codec.msg_bits == 1:
+            prog = self.ctx._jit(("int_div", self.codec, D),
+                                 self._div_prog(D), batch_argnums=(0, 1))
+            q, r = prog(x.digits, y.digits, self._tv_add, self._tv_and2,
+                        self.ctx.keys)
+        else:
+            prog = self.ctx._jit(("int_div", self.codec, D),
+                                 self._div_prog_multi(D),
+                                 batch_argnums=(0, 1))
+            q, r = prog(x.digits, y.digits, self._tv_add, self._tv_sel,
+                        self.ctx.keys)
         return IntCtxt(q, self.codec), IntCtxt(r, self.codec)
 
     def div(self, x: IntCtxt, y: IntCtxt) -> IntCtxt:
@@ -632,25 +827,78 @@ class IntContext:
     def mod(self, x: IntCtxt, y: IntCtxt) -> IntCtxt:
         return self.divmod_(x, y)[1]
 
-    def _shift_prog(self, D: int, S: int, sign: int):
+    def _digit_shift(self, cur, k: int):
+        """Shift by k whole digits (static k; vacated digits trivial 0)."""
+        Bt, D = cur.shape[0], cur.shape[1]
+        n0 = self.ctx.params.lvl0.dim
+        if abs(k) >= D:
+            return jnp.zeros_like(cur)
+        if k > 0:
+            pad = jnp.zeros((Bt, k, n0 + 1), U32)
+            return jnp.concatenate([pad, cur[:, :D - k]], axis=1)
+        if k < 0:
+            pad = jnp.zeros((Bt, -k, n0 + 1), U32)
+            return jnp.concatenate([cur[:, -k:], pad], axis=1)
+        return cur
+
+    def _shift1(self, cur, sign: int, tv_sh1, keys):
+        """One-BIT shift within radix-2^m digits (msg_bits >= 2): ONE
+        rotation per digit produces (lo, carry) LUT pairs; the result is
+        the linear sum lo_d + carry-from-neighbour — clean, since the
+        carry fills exactly the bit position the shift vacated (left:
+        lo even, carry in bit 0; right: lo < base/2, carry = base/2)."""
         p, bk = self.ctx.params, self.ctx.backend
         n0 = p.lvl0.dim
+        Bt, D = cur.shape[0], cur.shape[1]
+        flat = cur.reshape(Bt * D, n0 + 1)
+        lo, hi = B.pbs_many(flat, tv_sh1, 2, keys, p, bk, theta=1)
+        lo = lo.reshape(Bt, D, n0 + 1)
+        hi = hi.reshape(Bt, D, n0 + 1)
+        zero = jnp.zeros((Bt, 1, n0 + 1), U32)
+        if sign > 0:   # left: result_d = lo_d + topbit(x_{d-1})
+            hi_sh = jnp.concatenate([zero, hi[:, :-1]], axis=1)
+        else:          # right: result_d = lo_d + lowbit(x_{d+1}) << (m-1)
+            hi_sh = jnp.concatenate([hi[:, 1:], zero], axis=1)
+        return lo + hi_sh
 
-        def run(xd, ad, tv_and, keys):
+    def _shift_prog(self, D: int, S: int, sign: int):
+        """Barrel shifter over amount BITS. Amount bits with
+        2^i >= total-bits cannot change the answer except by saturating to
+        zero: they collapse into ONE OR-tree + one final select against
+        zeros (~1 rotation/high bit + 2*D once) instead of a full 2*D-
+        rotation select per high bit (ADVICE r4). msg_bits>=2 extracts the
+        m bits of each amount digit with one J=m rotation, and odd stage
+        widths pay sub-digit 1-bit shifts (_shift1)."""
+        p, bk = self.ctx.params, self.ctx.backend
+        n0 = p.lvl0.dim
+        m = self.codec.msg_bits
+        total_bits = D * m
+
+        def run(xd, ad, tv_pick, tv_or, tv_bits, tv_sh1, keys):
             Bt = xd.shape[0]
+            if m == 1:
+                bits = [ad[:, i] for i in range(S)]
+            else:
+                flat = ad.reshape(Bt * S, n0 + 1)
+                outs = B.pbs_many(flat, tv_bits, m, keys, p, bk)
+                outs = outs.reshape(m, Bt, S, n0 + 1)
+                bits = [outs[j, :, i]              # bit i*m+j, little-endian
+                        for i in range(S) for j in range(m)]
             cur = xd
-            for i in range(S):                     # unrolled: S is static
-                k = sign * (1 << i)
-                if abs(k) >= D:
-                    shifted = jnp.zeros_like(cur)  # trivial zeros
-                elif k > 0:
-                    pad = jnp.zeros((Bt, k, n0 + 1), U32)
-                    shifted = jnp.concatenate([pad, cur[:, :D - k]], axis=1)
-                else:
-                    pad = jnp.zeros((Bt, -k, n0 + 1), U32)
-                    shifted = jnp.concatenate([cur[:, -k:], pad], axis=1)
-                cur = self._select_digits(ad[:, i], shifted, cur, tv_and,
-                                          keys)
+            sat_bits = []
+            for i, bit in enumerate(bits):         # unrolled: static count
+                if (1 << i) >= total_bits:
+                    sat_bits.append(bit)
+                    continue
+                q, r = divmod(1 << i, m)
+                shifted = self._digit_shift(cur, sign * q)
+                for _ in range(r):                 # r < m sub-digit steps
+                    shifted = self._shift1(shifted, sign, tv_sh1, keys)
+                cur = self._select_digits(bit, shifted, cur, tv_pick, keys)
+            if sat_bits:
+                sat = self._or_digits(sat_bits, tv_or, keys)
+                cur = self._select_digits(sat, jnp.zeros_like(cur), cur,
+                                          tv_pick, keys)
             return cur
 
         return run
@@ -659,15 +907,15 @@ class IntContext:
                   tag: str) -> IntCtxt:
         if x.codec != self.codec or amount.codec != self.codec:
             raise ValueError("ciphertext codec differs from context codec")
-        if self.codec.msg_bits != 1:
-            raise NotImplementedError("shifts are implemented for msg_bits=1")
         if amount.batch != x.batch:
             raise ValueError("shift amount batch differs from operand batch")
         D, S = x.ndigits, amount.ndigits
         prog = self.ctx._jit((tag, self.codec, D, S),
                              self._shift_prog(D, S, sign),
                              batch_argnums=(0, 1))
-        out = prog(x.digits, amount.digits, self._tv_and2, self.ctx.keys)
+        tv_sh1 = self._tv_sh1l if sign > 0 else self._tv_sh1r
+        out = prog(x.digits, amount.digits, self._tv_pick, self._tv_or,
+                   self._tv_bits, tv_sh1, self.ctx.keys)
         return IntCtxt(out, self.codec)
 
     def shift_left(self, x: IntCtxt, amount: IntCtxt) -> IntCtxt:
@@ -683,18 +931,33 @@ class IntContext:
         return self._shift_by(x, amount, -1, "int_shr")
 
     def mul(self, x: IntCtxt, y: IntCtxt) -> IntCtxt:
-        """Schoolbook product (full 2*bits width), ONE dispatch. msg_bits=1
-        only: the whole product — partial-product rows as bivariate AND
-        rotations, accumulated with fused ripple adds — runs as a lax.scan
-        over rows inside one compiled program: ~3*D^2 rotations per product
-        (vs ~6*D^2 gate bootstraps for the netlist multiplier) and one
-        dispatch instead of 2*D."""
+        """Schoolbook product (full 2*bits width), ONE dispatch: the whole
+        product — partial-product rows as bivariate rotations, accumulated
+        with fused ripple adds — runs as a lax.scan over rows inside one
+        compiled program: ~3*D^2 rotations per product (vs ~6*D^2 gate
+        bootstraps for the netlist multiplier) and one dispatch instead of
+        2*D. msg_bits>=2 needs a codec with buf_bits >= 2*msg_bits (phase
+        space for the bivariate digit product, ~2*D^2 rotations), e.g.
+        IntCodec(msg_bits=2, buf_bits=4) — the TFHE-rs-style
+        message/carry split."""
         self._check(x, y)
-        if self.codec.msg_bits != 1:
-            raise NotImplementedError("mul is implemented for msg_bits=1")
         D = x.ndigits
-        prog = self.ctx._jit(("int_mul", self.codec, D), self._mul_prog(D),
-                             batch_argnums=(0, 1))
-        acc = prog(x.digits, y.digits, self._tv_and2, self._tv_add,
-                   self.ctx.keys)
+        if self.codec.msg_bits == 1:
+            prog = self.ctx._jit(("int_mul", self.codec, D),
+                                 self._mul_prog(D), batch_argnums=(0, 1))
+            acc = prog(x.digits, y.digits, self._tv_and2, self._tv_add,
+                       self.ctx.keys)
+        else:
+            if self._tv_mul is None:
+                raise ValueError(
+                    f"mul at msg_bits={self.codec.msg_bits} needs "
+                    f"buf_bits >= {2 * self.codec.msg_bits} (bivariate "
+                    f"digit-product phase space); use e.g. IntCodec("
+                    f"msg_bits={self.codec.msg_bits}, "
+                    f"buf_bits={2 * self.codec.msg_bits})")
+            prog = self.ctx._jit(("int_mul", self.codec, D),
+                                 self._mul_prog_multi(D),
+                                 batch_argnums=(0, 1))
+            acc = prog(x.digits, y.digits, self._tv_mul, self._tv_add,
+                       self.ctx.keys)
         return IntCtxt(acc, self.codec)

@@ -191,6 +191,21 @@ TINY = GateParams(
     ks=KeySwitchParams(t=4, basebit=2),
 )
 
+#: "Quiet" tiny set for the radix-4 (msg_bits=2) integer layer, whose
+#: delta/2 = 2^26 LUT margins sit far below the gate margins. All three
+#: deterministic (alpha=0) error terms are pushed out of range: N=512
+#: (theta=1 mod-switch rounding ~2^23 vs TINY's ~2^25.7 — the dominant
+#: radix-4 blocker, BENCHMARKS.md r4), l=3/Bg=2^8 (decomposition rounding
+#: ~2^7), and a t=7/basebit=3 keyswitch (KS rounding ~2^10 vs ~2^23).
+#: Mirrors the production finding that radix-4 needs an N=2048-class set,
+#: not merely a quieter gadget.
+TINY_Q = GateParams(
+    name="tiny-quiet-ks-insecure-test",
+    lvl0=LweParams(n=16, k=1, alpha=0.0, mu=1 << 29),
+    lvl1=TrlweParams(nbit=9, k=1, l=3, Bgbit=8, alpha=0.0, mu=1 << 29),
+    ks=KeySwitchParams(t=7, basebit=3),
+)
+
 #: Tiny-but-N=128 insecure set for exercising the Pallas kernel (which needs
 #: N to be a multiple of 128) in interpret mode on CPU.
 PALLAS_TINY = GateParams(
@@ -244,7 +259,7 @@ PALLAS_BG10_KAR = GateParams(
 )
 
 PRESETS = {p.name: p for p in (TFHEPP_128, TFHEPP_128_BG8, TFHEPP_80, CGGI19,
-                               CONCRETE, TINY, PALLAS_TINY, TINY_K2,
+                               CONCRETE, TINY, TINY_Q, PALLAS_TINY, TINY_K2,
                                PALLAS_TINY_K2, PALLAS_BG10, PALLAS_KAR,
                                PALLAS_BG10_KAR)}
 DEFAULT = TFHEPP_128

@@ -247,6 +247,134 @@ def test_msg_bits_2_experimental(int_pallas_key, rng):
     assert decrypt_uint(s, sk) == [(a + b) % 256 for a, b in zip(xs, ys)]
 
 
+# ---------------------------------------------------------------------------
+# msg_bits=2 operation coverage (VERDICT r4 #5: select/mul/divmod/shifts
+# past msg_bits=1). TINY is deterministic (alpha=0), so these are exact.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def int2_key():
+    # TINY_Q: fine-grained keyswitch — radix-4's delta/2 = 2^26 margin
+    # needs KS rounding quieter than TINY's ~2^23 tail to stay exact
+    sk = G.keygen(P.TINY_Q, seed=25)
+    ek = G.make_eval_key(sk, seed=26)
+    return sk, ek
+
+
+@pytest.fixture(scope="module")
+def int2_ctx(int2_key):
+    sk, ek = int2_key
+    return sk, IntContext(Context(ek, backend="conv"), IntCodec(msg_bits=2))
+
+
+def test_m2_select_min_max(int2_ctx, rng):
+    sk, ictx = int2_ctx
+    codec = ictx.codec
+    xs, ys = [9, 4, 200, 0], [4, 9, 200, 255]
+    x = encrypt_uint(xs, 8, sk, codec, rng=rng)
+    y = encrypt_uint(ys, 8, sk, codec, rng=rng)
+    assert x.ndigits == 4                      # radix-4
+    sel = ictx.select(ictx.ge(x, y), x, y)
+    assert decrypt_uint(sel, sk) == [max(a, b) for a, b in zip(xs, ys)]
+    assert decrypt_uint(ictx.min_(x, y), sk) == \
+        [min(a, b) for a, b in zip(xs, ys)]
+    assert decrypt_uint(ictx.max_(x, y), sk) == \
+        [max(a, b) for a, b in zip(xs, ys)]
+
+
+def test_m2_eq(int2_ctx, rng):
+    sk, ictx = int2_ctx
+    codec = ictx.codec
+    xs, ys = [9, 4, 7, 200], [4, 9, 7, 200]
+    x = encrypt_uint(xs, 8, sk, codec, rng=rng)
+    y = encrypt_uint(ys, 8, sk, codec, rng=rng)
+    assert decrypt_bits(ictx.eq(x, y), sk).tolist() == [0, 0, 1, 1]
+
+
+def test_m2_signed_compare_and_abs(int2_ctx, rng):
+    from cufhe_tpu.models import decrypt_int, encrypt_int
+    sk, ictx = int2_ctx
+    codec = ictx.codec
+    xs, ys = [-3, 7, -8, 5], [2, -7, -8, 6]
+    x = encrypt_int(xs, 4, sk, codec, rng=rng)
+    y = encrypt_int(ys, 4, sk, codec, rng=rng)
+    assert decrypt_bits(ictx.ge_signed(x, y), sk).tolist() == \
+        [int(a >= b) for a, b in zip(xs, ys)]
+    assert decrypt_int(ictx.min_signed(x, y), sk) == \
+        [min(a, b) for a, b in zip(xs, ys)]
+    assert decrypt_int(ictx.abs_(x), sk) == [3, 7, -8, 5]
+
+
+def test_m2_encrypted_shifts(int2_ctx, rng):
+    sk, ictx = int2_ctx
+    codec = ictx.codec
+    xs = [0b01100110, 0b10011001, 0b11111111, 0b00000001]
+    amts = [1, 3, 9, 6]                    # 9 >= 8 bits: saturates to 0
+    x = encrypt_uint(xs, 8, sk, codec, rng=rng)
+    a = encrypt_uint(amts, 8, sk, codec, rng=rng)
+    left = ictx.shift_left(x, a)
+    assert decrypt_uint(left, sk) == [(v << s) & 0xFF if s < 8 else 0
+                                      for v, s in zip(xs, amts)]
+    right = ictx.shift_right(x, a)
+    assert decrypt_uint(right, sk) == [v >> s if s < 8 else 0
+                                       for v, s in zip(xs, amts)]
+
+
+def test_m1_shift_saturate_tail(int_ctx, rng):
+    """Wide amount register (S=6 bits for 4-bit values): all high bits
+    collapse into the OR-tree saturate path (ADVICE r4)."""
+    sk, ictx = int_ctx
+    xs = [0b0110, 0b1001, 0b1111, 0b0001]
+    amts = [1, 35, 16, 3]                  # 35, 16 hit only high bits
+    x = encrypt_uint(xs, 4, sk, rng=rng)
+    a = encrypt_uint(amts, 6, sk, rng=rng)
+    left = ictx.shift_left(x, a)
+    assert decrypt_uint(left, sk) == [(v << s) & 0xF if s < 4 else 0
+                                      for v, s in zip(xs, amts)]
+
+
+def test_m2_mul_needs_carry_space(int2_ctx, rng):
+    sk, ictx = int2_ctx
+    x = encrypt_uint([3, 2], 4, sk, ictx.codec, rng=rng)
+    with pytest.raises(ValueError, match="buf_bits"):
+        ictx.mul(x, x)
+
+
+def test_m2_mul(int2_key, rng):
+    """Radix-4 multiplier with the TFHE-rs-style message/carry codec
+    (buf_bits = 2*msg_bits)."""
+    sk, ek = int2_key
+    codec = IntCodec(msg_bits=2, buf_bits=4)
+    ictx = IntContext(Context(ek, backend="conv"), codec)
+    xs, ys = [13, 7, 15, 9], [11, 0, 15, 6]
+    x = encrypt_uint(xs, 4, sk, codec, rng=rng)
+    y = encrypt_uint(ys, 4, sk, codec, rng=rng)
+    prod = ictx.mul(x, y)
+    assert prod.bits == 8
+    assert decrypt_uint(prod, sk) == [a * b for a, b in zip(xs, ys)]
+
+
+def test_m2_divmod(int2_ctx, rng):
+    sk, ictx = int2_ctx
+    codec = ictx.codec
+    xs, ys = [213, 77, 9, 255], [13, 2, 40, 1]
+    x = encrypt_uint(xs, 8, sk, codec, rng=rng)
+    y = encrypt_uint(ys, 8, sk, codec, rng=rng)
+    q, r = ictx.divmod_(x, y)
+    assert decrypt_uint(q, sk) == [a // b for a, b in zip(xs, ys)]
+    assert decrypt_uint(r, sk) == [a % b for a, b in zip(xs, ys)]
+
+
+def test_m2_div_by_zero_convention(int2_ctx, rng):
+    sk, ictx = int2_ctx
+    codec = ictx.codec
+    x = encrypt_uint([9, 0], 4, sk, codec, rng=rng)
+    y = encrypt_uint([0, 0], 4, sk, codec, rng=rng)
+    q, r = ictx.divmod_(x, y)
+    assert decrypt_uint(q, sk) == [15, 15]
+    assert decrypt_uint(r, sk) == [9, 0]
+
+
 def test_theta_zero_matches_legacy_a_switch(int_key, rng):
     """theta=0 many-path differs from the legacy PBS only in b's rounding:
     with b's low switch bits zero the two are bit-identical."""
