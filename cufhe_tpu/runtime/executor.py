@@ -463,9 +463,12 @@ def run_schedule_loop(ctx: Context, sched: Schedule, inputs: Sequence[Ctxt],
     processor: a whole multi-cycle run costs ONE dispatch instead of
     cycles x levels round trips). Bit-identical to calling run_schedule
     in a Python loop and copying outputs to inputs. Requires the circuit
-    to be under the fusion threshold (CUFHE_FUSE_MAX) and no mesh."""
-    if ctx.mesh is not None:
-        raise ValueError("run_schedule_loop does not support mesh Contexts")
+    to be under the fusion threshold (CUFHE_FUSE_MAX).
+
+    Under a mesh Context the whole scanned loop runs as one shard_map
+    program: the batch axis of every plane is sharded over the data axis,
+    keys are replicated, and the feedback wiring stays device-local (zero
+    collectives — same SPMD shape as run_schedule under mesh)."""
     if not 0 < sched.num_gates <= _fuse_max():
         raise ValueError(f"schedule has {sched.num_gates} gates; the "
                          f"scanned loop needs 0 < gates <= {_fuse_max()} "
@@ -500,11 +503,12 @@ def run_schedule_loop(ctx: Context, sched: Schedule, inputs: Sequence[Ctxt],
 
         def loop(planes, keys):
             def cyc(pl, _):
-                regs = jnp.zeros((num_slots, B, width), dtype=U32)
+                Bl = pl.shape[1]   # local batch (shard size under a mesh)
+                regs = jnp.zeros((num_slots, Bl, width), dtype=U32)
                 regs = regs.at[jnp.asarray(in_rows)].set(pl)
                 for row, val in consts:
                     regs = regs.at[row].set(
-                        trivial_ciphertext(val, width - 1, mu, B))
+                        trivial_ciphertext(val, width - 1, mu, Bl))
                 regs = body(regs, keys)
                 outs = regs[jnp.asarray(out_rows)]
                 pl = pl.at[jnp.asarray(fb_in)].set(outs[jnp.asarray(fb_out)])
@@ -512,8 +516,30 @@ def run_schedule_loop(ctx: Context, sched: Schedule, inputs: Sequence[Ctxt],
             _, all_outs = jax.lax.scan(cyc, planes, None, length=cycles)
             return all_outs[-1]
 
+        if ctx.mesh is not None:
+            from jax.sharding import PartitionSpec as _PS
+
+            from ..parallel.mesh import DATA_AXIS
+            ndev = int(ctx.mesh.devices.size)
+            if B % ndev:
+                raise ValueError(f"batch {B} not divisible by the "
+                                 f"{ndev}-device mesh")
+            # planes are [n_in, B, width]: shard axis 1 (the batch), keys
+            # replicated; feedback is elementwise in the batch, so the
+            # scanned body needs zero collectives (check_vma=False as in
+            # parallel.mesh.data_parallel — bit-equality is tested).
+            loop = jax.shard_map(loop, mesh=ctx.mesh,
+                                 in_specs=(_PS(None, DATA_AXIS), _PS()),
+                                 out_specs=_PS(None, DATA_AXIS),
+                                 check_vma=False)
         cache[key] = jax.jit(loop)
     planes0 = jnp.stack([ct.data for ct in inputs])
+    if ctx.mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _PS
+
+        from ..parallel.mesh import DATA_AXIS
+        planes0 = jax.device_put(
+            planes0, NamedSharding(ctx.mesh, _PS(None, DATA_AXIS)))
     outs = cache[key](planes0, ctx.keys)
     return [Ctxt(outs[i], lvl) for i in range(n_out)]
 

@@ -162,3 +162,51 @@ def test_integer_add_sharded_matches_unsharded(pallas_key, rng):
                           np.asarray(jax.device_get(mesh.digits)))
     assert len(mesh.digits.sharding.device_set) == 8
     assert decrypt_uint(mesh, sk) == [(a + b) % mod for a, b in zip(xs, ys)]
+
+
+def test_run_schedule_loop_sharded_matches_unsharded(rng):
+    """The scanned feedback loop (run_schedule_loop) under a mesh must be
+    bit-identical to the unsharded loop — VERDICT r4 #6: the sequential-
+    machine latency path must not refuse multi-chip Contexts."""
+    from cufhe_tpu.runtime import CircuitBuilder, run_schedule_loop
+
+    sk = G.keygen(P.TINY, seed=31)
+    ek = G.make_eval_key(sk, seed=32)
+    mesh = data_mesh()
+    ctx_m = Context(ek, mesh=mesh)
+    ctx_s = Context(ek)
+    cb = CircuitBuilder()
+    sel, x = cb.input(), cb.input()
+    one = cb.const(1)
+    y = cb.gate("nand", x, one)
+    cb.output(cb.gate("mux", sel, y, one))
+    s = cb.compile()
+    B_ = 16
+    sel_bits = np.array([i & 1 for i in range(B_)])
+    x_bits = np.array([(i >> 1) & 1 for i in range(B_)])
+    ins = [encrypt_bits(sel_bits, sk, np.random.default_rng(33)),
+           encrypt_bits(x_bits, sk, np.random.default_rng(34))]
+    got_m = run_schedule_loop(ctx_m, s, ins, cycles=3, feedback=[(0, 1)])
+    got_s = run_schedule_loop(ctx_s, s, ins, cycles=3, feedback=[(0, 1)])
+    assert np.array_equal(np.asarray(got_m[0].data),
+                          np.asarray(got_s[0].data))
+    assert len(got_m[0].data.sharding.device_set) == 8
+    want = x_bits.copy()
+    for _ in range(3):
+        want = np.where(sel_bits == 1, 1 - (want & 1), 1)
+    assert np.array_equal(decrypt_bits(got_m[0], sk), want)
+
+
+def test_run_schedule_loop_mesh_batch_divisibility(rng):
+    from cufhe_tpu.runtime import CircuitBuilder, run_schedule_loop
+
+    sk = G.keygen(P.TINY, seed=31)
+    ek = G.make_eval_key(sk, seed=32)
+    ctx = Context(ek, mesh=data_mesh())
+    cb = CircuitBuilder()
+    a, b = cb.input(), cb.input()
+    cb.output(cb.gate("nand", a, b))
+    s = cb.compile()
+    ins = [encrypt_bits([1] * 6, sk, rng), encrypt_bits([0] * 6, sk, rng)]
+    with pytest.raises(ValueError, match="divisible"):
+        run_schedule_loop(ctx, s, ins, cycles=2, feedback=[(0, 0)])
