@@ -69,8 +69,8 @@ def main():
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--params", default="tfhepp_128bit")
     ap.add_argument("--sections",
-                    default="golden,gates,chain,mux,linear,refresh,cmux,"
-                            "kernels,noise")
+                    default="golden,gates,chain,latency,mux,linear,refresh,"
+                            "cmux,kernels,noise")
     args = ap.parse_args()
     sections = set(args.sections.split(","))
 
@@ -150,6 +150,31 @@ def main():
                 want = 1 - (want & bits1)
             report("chain", f"nand_x{depth}", dt / depth, B,
                    np.sum(got != want), level)
+
+    if "latency" in sections:
+        # single-dispatch latency at small batches — the reference's
+        # single-stream number is 13 ms/gate on A100 (README.md:29-31).
+        # One dispatch here pays the full enqueue+sync tunnel round trip
+        # (~30 ms flat, CLAUDE.md), so this is an upper bound on true
+        # device latency; it also VERIFIES the small-batch tile ladder
+        # (ops/bootstrap.py bt ladder) actually compiles on hardware.
+        for Bs in (1, 64, 256):
+            lb0 = rng.integers(0, 2, Bs)
+            lb1 = rng.integers(0, 2, Bs)
+            a = encrypt_bits(lb0, sk, rng)
+            b = encrypt_bits(lb1, sk, rng)
+            out = ctx.nand(a, b)            # compile
+            _force(out)
+            ts = []
+            for _ in range(max(args.iters, 5)):
+                t0 = time.perf_counter()
+                out = ctx.nand(a, b)
+                _force(out)
+                ts.append(time.perf_counter() - t0)
+            dt = sorted(ts)[len(ts) // 2]   # median single dispatch
+            got = decrypt_bits(out, sk)
+            report("latency", f"b{Bs}", dt, Bs,
+                   np.sum(got != (1 - (lb0 & lb1))))
 
     if "mux" in sections:
         for level in (0, 1):

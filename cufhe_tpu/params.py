@@ -181,6 +181,34 @@ CONCRETE = GateParams(
     ks=KeySwitchParams(t=5, basebit=2),
 )
 
+#: N=2048-class set for radix-4 (msg_bits=2) encrypted integers — the
+#: documented unblock for the theta=1 mod-switch noise floor that caps
+#: radix-4 at N=1024 (BENCHMARKS.md r4). Beyond the reference's parameter
+#: menu (its one N=2048 struct, cuFHElvl2param at cufheparams.hpp:5-20, is
+#: u64-torus and unused by any code path); this stays on the u32 torus the
+#: whole stack is built on. Error budget at msg_bits=2 (delta/2 = 2^27):
+#:   mod-switch (theta=1, nbit=11, n0=1024): std ~2^23.7  (was 2^25.7)
+#:   blind rotation (l=3, Bg=512, alpha1=2^-31):   ~2^22
+#:   keyswitch (t=8/b=2, alpha0=2^-17):            ~2^22
+#:   => next-add input sigma ~2^24.2 -> ~6.8-sigma digit margin (vs the
+#:      ~4-sigma hard floor measured for radix-4 at the 128-bit set).
+#: Security: LWE n=1024/alpha 2^-17 and RLWE N=2048/alpha 2^-31 both sit
+#: well above the 128-bit line (lattice-estimator-style extrapolation from
+#: the published 636/2^-13.4 and 1024/2^-24.8 points).
+#: Cost model (why this is noise-viable but NOT a throughput win, measured
+#: reasoning in docs/DESIGN.md): rotations/bit halve (radix-4), but each
+#: rotation costs ~(2048/1024)^1.58 ~ 3x (Karatsuba-scaled MXU dots) x
+#: (n0 1024/636) ~ 1.6x => ~2.4x per-bit cost at half the rotations —
+#: net ~1.2x SLOWER per bit than msg_bits=1 at the 128-bit set, in
+#: exchange for halving depth (latency) of digit-serial circuits.
+RADIX4_2048 = GateParams(
+    name="radix4_2048",
+    lvl0=LweParams(n=1024, k=1, alpha=2.0 ** -17, mu=1 << 29),
+    lvl1=TrlweParams(nbit=11, k=1, l=3, Bgbit=9, alpha=2.0 ** -31,
+                     mu=1 << 29),
+    ks=KeySwitchParams(t=8, basebit=2),
+)
+
 #: Tiny insecure parameters for fast exact unit tests (alpha = 0 everywhere so
 #: the whole pipeline is deterministic; decomposition/modswitch rounding is the
 #: only "noise").
@@ -259,7 +287,8 @@ PALLAS_BG10_KAR = GateParams(
 )
 
 PRESETS = {p.name: p for p in (TFHEPP_128, TFHEPP_128_BG8, TFHEPP_80, CGGI19,
-                               CONCRETE, TINY, TINY_Q, PALLAS_TINY, TINY_K2,
+                               CONCRETE, RADIX4_2048, TINY, TINY_Q,
+                               PALLAS_TINY, TINY_K2,
                                PALLAS_TINY_K2, PALLAS_BG10, PALLAS_KAR,
                                PALLAS_BG10_KAR)}
 DEFAULT = TFHEPP_128
