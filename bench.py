@@ -176,14 +176,18 @@ def main() -> None:
     _wait_for_device()
     # Persistent compilation cache: warm restarts (watchdog retries, later
     # rounds) skip the multi-minute Pallas/XLA compiles. Must be set before
-    # the first compilation; failures are non-fatal by default.
+    # the first compilation; failures are non-fatal by default. compcache
+    # also makes the cache key survive tunnel reconnects (a reconnect can
+    # land on a differently-built backend server, which the stock key
+    # hashes — four same-day runs of this very program wrote four distinct
+    # cache entries before this fix).
     import jax
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         # the axon plugin ignores the env var alone; force in-process
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(_REPO, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    sys.path.insert(0, _REPO)
+    from cufhe_tpu.utils import compcache
+    compcache.enable(explain_misses=True)
 
     from cufhe_tpu import PRESETS, TFHEPP_128, golden as G
     from cufhe_tpu.models import Context, encrypt_bits, decrypt_bits

@@ -8,6 +8,15 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RESULTS = os.path.join(REPO, "benchmarks", "results.jsonl")
 
+# Every bench importing this module gets the persistent compilation cache
+# (reconnect-stable key, utils/compcache.py): the workload benches carry
+# minutes of one-time Pallas/XLA compiles that should never be repaid.
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+from cufhe_tpu.utils import compcache as _compcache  # noqa: E402
+
+CACHE_DIR = _compcache.enable()
+
 
 def load_or_make_bench_keys(pname: str):
     """(sk, ek) for a preset, from the gitignored .bench_keys_* caches

@@ -152,12 +152,17 @@ def main():
                    np.sum(got != want), level)
 
     if "latency" in sections:
-        # single-dispatch latency at small batches — the reference's
-        # single-stream number is 13 ms/gate on A100 (README.md:29-31).
-        # One dispatch here pays the full enqueue+sync tunnel round trip
-        # (~30 ms flat, CLAUDE.md), so this is an upper bound on true
-        # device latency; it also VERIFIES the small-batch tile ladder
-        # (ops/bootstrap.py bt ladder) actually compiles on hardware.
+        # Small-batch latency — the reference's single-stream number is
+        # 13 ms/gate on A100 (README.md:29-31). Two views per batch size:
+        #   * b{B}: one dispatch, full enqueue+sync round trip included
+        #     (the tunnel costs ~30 ms flat per sync, CLAUDE.md — an upper
+        #     bound on true device latency); also VERIFIES the small-batch
+        #     tile ladder (ops/bootstrap.py) actually compiles on hardware.
+        #   * b{B}_chain: 20 DEPENDENT gates, one final force — per-gate
+        #     device latency with the per-sync tax amortized; this is the
+        #     number a sequential encrypted machine (TOY8) actually pays
+        #     per gate level.
+        lat_depth = 20
         for Bs in (1, 64, 256):
             lb0 = rng.integers(0, 2, Bs)
             lb1 = rng.integers(0, 2, Bs)
@@ -175,6 +180,20 @@ def main():
             got = decrypt_bits(out, sk)
             report("latency", f"b{Bs}", dt, Bs,
                    np.sum(got != (1 - (lb0 & lb1))))
+            ts = []
+            for _ in range(max(args.iters, 3)):
+                out = ctx.nand(a, b)
+                t0 = time.perf_counter()
+                for _ in range(lat_depth):
+                    out = ctx.nand(out, b)
+                _force(out)
+                ts.append((time.perf_counter() - t0) / lat_depth)
+            dt = sorted(ts)[len(ts) // 2]
+            want = 1 - (lb0 & lb1)
+            for _ in range(lat_depth):
+                want = 1 - (want & lb1)
+            got = decrypt_bits(out, sk)
+            report("latency", f"b{Bs}_chain", dt, Bs, np.sum(got != want))
 
     if "mux" in sections:
         for level in (0, 1):
