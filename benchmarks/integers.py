@@ -163,6 +163,11 @@ def main():
 
     div_stats = {}
     if args.div_bits:
+        # Segment wide divides into ~8-bit dispatches: one 32-bit divide
+        # is ~3,100 sequential latency-bound rotations (60+ s of device
+        # time), past the tunnel rig's per-execution kill threshold
+        # (~65 s, see divmod_ docstring). Bit-exact either way.
+        os.environ.setdefault("CUFHE_DIV_SEG", "8")
         db = args.div_bits
         Dd = db // codec.msg_bits
         dxs = [int(v) for v in rng.integers(0, 1 << db, B, dtype=np.uint64)]

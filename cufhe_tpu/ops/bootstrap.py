@@ -53,6 +53,29 @@ def resolve_backend(backend: str, params: GateParams) -> str:
     return "conv"
 
 
+def choose_batch_tile(B: int, cap: int) -> tuple:
+    """Pallas batch-tile choice, Mosaic-legal on hardware: a single-tile
+    grid may use any bt == B (block == full array), but a MULTI-tile
+    grid's batch tile is the lane dimension of every block and must be a
+    multiple of 128 (Mosaic rejects e.g. bt=64 over a 2112-batch: caught
+    on the first hardware 32-bit encrypted divide, whose select step
+    rotates B*(base*(D+1)) odd-sized batches). When no 128-multiple
+    divides B, pad the batch to the cheapest legal tiling (ties to the
+    larger tile) and slice the result — batch rows are independent, so
+    padding is bit-exact. Returns (bt, pad_rows). cap < 128 only via the
+    CUFHE_BT A/B override: legacy divisor ladder, caller beware."""
+    if B <= cap or cap < 128:
+        bt = B if B <= cap else max(
+            d for d in (cap, 512, 256, 128, 64, 32, 16, 8) if B % d == 0)
+        return bt, 0
+    cands = [d for d in (cap, 512, 256, 128) if d <= cap]
+    legal = [d for d in cands if B % d == 0]
+    if legal:
+        return max(legal), 0
+    bt = min(cands, key=lambda d: (-(-B // d) * d, -d))
+    return bt, -(-B // bt) * bt - B
+
+
 def _conv_update(dec: jnp.ndarray, bk_i, params: GateParams,
                  backend: str) -> jnp.ndarray:
     """One external product: decomposed digits x one TRGSW -> [B,k+1,N] u32."""
@@ -165,12 +188,15 @@ def blind_rotate_acc(acc: jnp.ndarray, a: jnp.ndarray, keys: DeviceKeys,
         env_bt = os.environ.get("CUFHE_BT", "")   # perf A/B only
         if env_bt:
             cap = int(env_bt)
-        bt = B if B < cap else max(
-            d for d in (cap, 512, 256, 128, 64, 32, 16, 8) if B % d == 0)
-        return blind_rotate_pallas(acc, abar, keys.bk_wext, params,
-                                   b_tile=bt, nlimbs=nlimbs, depth=depth,
-                                   prebands=tuple(
-                                       getattr(keys, "bk_prebands", ())))
+        bt, padB = choose_batch_tile(B, cap)
+        if padB:
+            acc = jnp.pad(acc, ((0, padB), (0, 0), (0, 0)))
+            abar = jnp.pad(abar, ((0, 0), (0, padB)))
+        out = blind_rotate_pallas(acc, abar, keys.bk_wext, params,
+                                  b_tile=bt, nlimbs=nlimbs, depth=depth,
+                                  prebands=tuple(
+                                      getattr(keys, "bk_prebands", ())))
+        return out[:B] if padB else out
 
     if backend == "ntt":
         # USE_SMALL_NTT_MODULUS gate mode (ntt_small_modulus.cuh; facade

@@ -392,3 +392,33 @@ def test_theta_zero_matches_legacy_a_switch(int_key, rng):
     many = np.asarray(B.pbs_many(batch, jnp.asarray(tv), 1, keys, p,
                                  "conv", theta=0))[0]
     assert np.array_equal(legacy, many)
+
+
+def test_divmod_segmented_bitexact(int_ctx, rng):
+    """Host-segmented division (remainder carried between dispatches) is
+    bit-identical to the single-scan program — the long-dispatch split a
+    32-bit divide needs (the bench rig kills executions past ~65 s)."""
+    import numpy as np
+    sk, ictx = int_ctx
+    xs, ys = [13, 7, 9, 15, 11, 0], [3, 2, 4, 1, 12, 5]
+    x = encrypt_uint(xs, 4, sk, rng=rng)
+    y = encrypt_uint(ys, 4, sk, rng=rng)
+    q1, r1 = ictx.divmod_(x, y)
+    q3, r3 = ictx.divmod_(x, y, segment=3)   # uneven split: 3 + 1
+    assert np.array_equal(np.asarray(q1.digits), np.asarray(q3.digits))
+    assert np.array_equal(np.asarray(r1.digits), np.asarray(r3.digits))
+    assert decrypt_uint(q3, sk) == [a // b for a, b in zip(xs, ys)]
+
+
+def test_m2_divmod_segmented_bitexact(int2_ctx, rng):
+    import numpy as np
+    sk, ictx = int2_ctx
+    codec = ictx.codec
+    xs, ys = [213, 77, 9, 255], [13, 2, 40, 3]
+    x = encrypt_uint(xs, 8, sk, codec, rng=rng)
+    y = encrypt_uint(ys, 8, sk, codec, rng=rng)
+    q1, r1 = ictx.divmod_(x, y)
+    q2, r2 = ictx.divmod_(x, y, segment=3)
+    assert np.array_equal(np.asarray(q1.digits), np.asarray(q2.digits))
+    assert np.array_equal(np.asarray(r1.digits), np.asarray(r2.digits))
+    assert decrypt_uint(q2, sk) == [a // b for a, b in zip(xs, ys)]
