@@ -452,7 +452,7 @@ def _fused_program(ctx: Context, sched: Schedule, batch: int, lvl: int,
 
 def run_schedule_loop(ctx: Context, sched: Schedule, inputs: Sequence[Ctxt],
                       cycles: int, feedback: Sequence[Tuple[int, int]],
-                      level: int = 0) -> List[Ctxt]:
+                      level: int = 0, segment: int = 0) -> List[Ctxt]:
     """Run a feedback circuit for `cycles` iterations as ONE compiled
     program (lax.scan over the whole schedule): each iteration, output
     `o` feeds input `i` for every (o, i) pair in `feedback`; all other
@@ -468,7 +468,15 @@ def run_schedule_loop(ctx: Context, sched: Schedule, inputs: Sequence[Ctxt],
     Under a mesh Context the whole scanned loop runs as one shard_map
     program: the batch axis of every plane is sharded over the data axis,
     keys are replicated, and the feedback wiring stays device-local (zero
-    collectives — same SPMD shape as run_schedule under mesh)."""
+    collectives — same SPMD shape as run_schedule under mesh).
+
+    `segment` (or env CUFHE_LOOP_SEG; 0 = all cycles in one dispatch)
+    caps the cycles per device dispatch: the feedback planes are carried
+    between dispatches, bit-identical to the single scan. Needed where
+    the execution environment bounds single-dispatch duration (the
+    tunneled bench rig kills executions past ~65 s — a 4-cycle TOY8 run
+    at batch 256 is ~105 s of device time; production schedulers may
+    also prefer shorter dispatches for preemption)."""
     if not 0 < sched.num_gates <= _fuse_max():
         raise ValueError(f"schedule has {sched.num_gates} gates; the "
                          f"scanned loop needs 0 < gates <= {_fuse_max()} "
@@ -496,9 +504,14 @@ def run_schedule_loop(ctx: Context, sched: Schedule, inputs: Sequence[Ctxt],
     fb_out = np.asarray([o for o, _ in feedback], dtype=np.int32)
     consts = [(slot[w], v) for w, v in sched.consts.items()]
 
+    segment = segment or int(os.environ.get("CUFHE_LOOP_SEG", "0")) or cycles
+
     cache = ctx._cache.setdefault("fused_loops", {})
-    key = (sched, B, lvl, cycles, tuple(map(tuple, feedback)))
-    if key not in cache:
+
+    def _loop_prog(n_cycles: int):
+        key = (sched, B, lvl, n_cycles, tuple(map(tuple, feedback)))
+        if key in cache:
+            return cache[key]
         body = _schedule_body(ctx, sched, B, lvl, slot, mu)
 
         def loop(planes, keys):
@@ -513,8 +526,11 @@ def run_schedule_loop(ctx: Context, sched: Schedule, inputs: Sequence[Ctxt],
                 outs = regs[jnp.asarray(out_rows)]
                 pl = pl.at[jnp.asarray(fb_in)].set(outs[jnp.asarray(fb_out)])
                 return pl, outs
-            _, all_outs = jax.lax.scan(cyc, planes, None, length=cycles)
-            return all_outs[-1]
+            planes, all_outs = jax.lax.scan(cyc, planes, None,
+                                            length=n_cycles)
+            # the carried planes come back to the host so a segmented run
+            # can resume the NEXT dispatch where this one stopped
+            return planes, all_outs[-1]
 
         if ctx.mesh is not None:
             from jax.sharding import PartitionSpec as _PS
@@ -528,19 +544,27 @@ def run_schedule_loop(ctx: Context, sched: Schedule, inputs: Sequence[Ctxt],
             # replicated; feedback is elementwise in the batch, so the
             # scanned body needs zero collectives (check_vma=False as in
             # parallel.mesh.data_parallel — bit-equality is tested).
-            loop = jax.shard_map(loop, mesh=ctx.mesh,
-                                 in_specs=(_PS(None, DATA_AXIS), _PS()),
-                                 out_specs=_PS(None, DATA_AXIS),
-                                 check_vma=False)
+            loop = jax.shard_map(
+                loop, mesh=ctx.mesh,
+                in_specs=(_PS(None, DATA_AXIS), _PS()),
+                out_specs=(_PS(None, DATA_AXIS), _PS(None, DATA_AXIS)),
+                check_vma=False)
         cache[key] = jax.jit(loop)
-    planes0 = jnp.stack([ct.data for ct in inputs])
+        return cache[key]
+
+    planes = jnp.stack([ct.data for ct in inputs])
     if ctx.mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as _PS
 
         from ..parallel.mesh import DATA_AXIS
-        planes0 = jax.device_put(
-            planes0, NamedSharding(ctx.mesh, _PS(None, DATA_AXIS)))
-    outs = cache[key](planes0, ctx.keys)
+        planes = jax.device_put(
+            planes, NamedSharding(ctx.mesh, _PS(None, DATA_AXIS)))
+    done = 0
+    outs = None
+    while done < cycles:
+        c = min(segment, cycles - done)
+        planes, outs = _loop_prog(c)(planes, ctx.keys)
+        done += c
     return [Ctxt(outs[i], lvl) for i in range(n_out)]
 
 

@@ -495,3 +495,27 @@ def test_run_schedule_loop_with_consts(tiny_key, rng):
     for _ in range(3):
         want = np.where(sel_bits == 1, 1 - (want & 1), 1)
     assert np.array_equal(decrypt_bits(got[0], sk), want)
+
+
+def test_run_schedule_loop_segmented_bitexact(tiny_key, rng):
+    """Host-segmented scanned loop (feedback planes carried between
+    dispatches) is bit-identical to the single-scan program — the split
+    long multi-cycle runs need where the environment bounds per-dispatch
+    duration (CUFHE_LOOP_SEG; the bench rig kills executions past ~65 s)."""
+    from cufhe_tpu.runtime import CircuitBuilder, run_schedule_loop
+
+    sk, ek = tiny_key
+    ctx = Context(ek)
+    cb = CircuitBuilder()
+    sel, x = cb.input(), cb.input()
+    one = cb.const(1)
+    y = cb.gate("nand", x, one)
+    cb.output(cb.gate("mux", sel, y, one))
+    s = cb.compile()
+    sel_bits = np.array([0, 1, 0, 1])
+    x_bits = np.array([0, 0, 1, 1])
+    ins = [encrypt_bits(sel_bits, sk, rng), encrypt_bits(x_bits, sk, rng)]
+    whole = run_schedule_loop(ctx, s, ins, cycles=5, feedback=[(0, 1)])
+    segd = run_schedule_loop(ctx, s, ins, cycles=5, feedback=[(0, 1)],
+                             segment=2)   # uneven split: 2 + 2 + 1
+    assert np.array_equal(np.asarray(whole[0].data), np.asarray(segd[0].data))
