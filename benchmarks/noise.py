@@ -45,7 +45,8 @@ MARGIN_FLOORS = {
 #: silently would corrupt encrypted-integer arithmetic long before the
 #: gate margins noticed (gates sit at 6.3 sigma).
 INT_MARGIN_FLOORS = {
-    "tfhepp_128bit": 4.5,        # measured 4.76
+    "tfhepp_128bit": 4.5,        # measured 4.76 (r4), 4.73 (r5, batch 256)
+    "radix4_2048": 8.0,          # measured 8.87 (r5; msg_bits=2 digits)
 }
 
 

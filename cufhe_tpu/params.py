@@ -192,6 +192,10 @@ CONCRETE = GateParams(
 #:   keyswitch (t=8/b=2, alpha0=2^-17):            ~2^22
 #:   => next-add input sigma ~2^24.2 -> ~6.8-sigma digit margin (vs the
 #:      ~4-sigma hard floor measured for radix-4 at the 128-bit set).
+#: MEASURED on TPU v5e (benchmarks/integers.py --params radix4_2048
+#: --msg-bits 2 --bits 32): digit noise std 2^21.83, next-add margin
+#: 8.87 sigma, 0 digit/word errors — the budget above was conservative
+#: (red-gate floor 8.0 in benchmarks/noise.py INT_MARGIN_FLOORS).
 #: Security: LWE n=1024/alpha 2^-17 and RLWE N=2048/alpha 2^-31 both sit
 #: well above the 128-bit line (lattice-estimator-style extrapolation from
 #: the published 636/2^-13.4 and 1024/2^-24.8 points).
