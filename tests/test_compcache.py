@@ -58,6 +58,14 @@ def test_enable_idempotent_and_functional(tmp_path, monkeypatch):
 
     monkeypatch.setenv("CUFHE_STABLE_CACHE_KEY", "1")
     prev = _ck._hash_platform
+    # enable() mutates GLOBAL jax config: restore every knob afterwards,
+    # or the rest of the test session writes multi-GB CPU executables
+    # into this test's (deleted) tmp dir — observed as a fatal abort
+    # inside put_executable_and_time during later Pallas tests.
+    prev_cfg = {k: getattr(jax.config, k) for k in
+                ("jax_compilation_cache_dir",
+                 "jax_persistent_cache_min_entry_size_bytes",
+                 "jax_persistent_cache_min_compile_time_secs")}
     try:
         d1 = compcache.enable(str(tmp_path / "c"))
         d2 = compcache.enable(str(tmp_path / "c"))
@@ -70,15 +78,24 @@ def test_enable_idempotent_and_functional(tmp_path, monkeypatch):
         assert list(np.asarray(out)) == [1, 2, 3, 4]
     finally:
         _ck._hash_platform = prev
+        for k, v in prev_cfg.items():
+            jax.config.update(k, v)
 
 
 def test_stable_key_opt_out(tmp_path, monkeypatch):
+    import jax
     from jax._src import cache_key as _ck
 
     monkeypatch.setenv("CUFHE_STABLE_CACHE_KEY", "0")
     prev = _ck._hash_platform
+    prev_cfg = {k: getattr(jax.config, k) for k in
+                ("jax_compilation_cache_dir",
+                 "jax_persistent_cache_min_entry_size_bytes",
+                 "jax_persistent_cache_min_compile_time_secs")}
     try:
         compcache.enable(str(tmp_path / "c2"))
         assert _ck._hash_platform is prev
     finally:
         _ck._hash_platform = prev
+        for k, v in prev_cfg.items():
+            jax.config.update(k, v)
