@@ -8,20 +8,30 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RESULTS = os.path.join(REPO, "benchmarks", "results.jsonl")
 
-# Every bench importing this module gets the persistent compilation cache
-# (reconnect-stable key, utils/compcache.py): the workload benches carry
-# minutes of one-time Pallas/XLA compiles that should never be repaid.
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
-from cufhe_tpu.utils import compcache as _compcache  # noqa: E402
 
-CACHE_DIR = _compcache.enable()
+
+def enable_compile_cache() -> str:
+    """Persistent compilation cache for the benches (reconnect-stable key,
+    utils/compcache.py): the workload benches carry minutes of one-time
+    Pallas/XLA compiles that should never be repaid. Called from
+    load_or_make_bench_keys — i.e. when a bench actually RUNS — rather
+    than at import: the unit-test session imports bench modules for
+    their tables/flows, and globally enabling the cache there makes
+    jax try to serialize GB-scale CPU test executables (observed
+    segfaulting inside put_executable_and_time on the bg10-Karatsuba
+    CPU program)."""
+    from cufhe_tpu.utils import compcache
+    return compcache.enable()
 
 
 def load_or_make_bench_keys(pname: str):
     """(sk, ek) for a preset, from the gitignored .bench_keys_* caches
     (regenerate when absent — presets with different gadget parameters
-    need their own keys, see CLAUDE.md)."""
+    need their own keys, see CLAUDE.md). Also enables the persistent
+    compilation cache: every caller is a bench about to compile."""
+    enable_compile_cache()
     from cufhe_tpu import PRESETS, golden as G
     from cufhe_tpu.utils import serialization as S
 
