@@ -80,6 +80,13 @@ def test_enable_idempotent_and_functional(tmp_path, monkeypatch):
         _ck._hash_platform = prev
         for k, v in prev_cfg.items():
             jax.config.update(k, v)
+        # config restore alone is NOT enough: jax latches module globals
+        # (_cache_initialized/_cache_checked/_cache_used) on first use,
+        # so later compiles in this process would still write into this
+        # test's deleted tmp dir — observed as a segfault serializing a
+        # GB-scale CPU executable in a later Pallas test.
+        from jax._src import compilation_cache as _cc
+        _cc.reset_cache()
 
 
 def test_stable_key_opt_out(tmp_path, monkeypatch):
@@ -99,3 +106,5 @@ def test_stable_key_opt_out(tmp_path, monkeypatch):
         _ck._hash_platform = prev
         for k, v in prev_cfg.items():
             jax.config.update(k, v)
+        from jax._src import compilation_cache as _cc
+        _cc.reset_cache()
