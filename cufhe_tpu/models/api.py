@@ -102,8 +102,23 @@ class Context:
 
     def _place(self, x: jnp.ndarray, stream) -> jnp.ndarray:
         """Stream-pinned placement (CtxtCopyH2D onto the stream's device,
-        cufhe_gpu.cuh:193-199) or mesh sharding."""
+        cufhe_gpu.cuh:193-199) or mesh sharding.
+
+        Already-placed arrays pass through untouched: device_put on an
+        IN-FLIGHT array (a chained gate's pending output) is pathological
+        on remote PJRT backends — measured 4.3 s/gate vs 65 ms for a
+        batch-512 chain on the tunneled TPU, a forced host round trip per
+        hop — and chaining device-resident outputs is the Stream API's
+        whole point (the reference chains g-gates the same way,
+        cufhe_gates_gpu.cu:161-167)."""
         if stream is not None:
+            devs = getattr(x, "devices", None)
+            if callable(devs):
+                try:
+                    if devs() == {stream.device}:
+                        return x
+                except Exception:
+                    pass
             return jax.device_put(x, stream.device)
         return self._shard(x)
 
@@ -118,7 +133,18 @@ class Context:
                              "mutually exclusive on one Context")
         dev = stream.device
         if dev not in self._dev_keys:
-            self._dev_keys[dev] = jax.device_put(self.keys, dev)
+            # The Context's primary key set already lives on SOME device:
+            # when the stream is pinned there (every single-chip Stream),
+            # reuse it — a device_put "replica" of the ~1.5 GB key set
+            # onto the SAME device cost a one-time ~30-160 s copy through
+            # the tunnel and was the entire mystery slowdown of the first
+            # streamed gate (benchmarks/intensive.py).
+            leaves = jax.tree_util.tree_leaves(self.keys)
+            on = getattr(leaves[0], "devices", None) if leaves else None
+            if callable(on) and leaves[0].devices() == {dev}:
+                self._dev_keys[dev] = self.keys
+            else:
+                self._dev_keys[dev] = jax.device_put(self.keys, dev)
         return self._dev_keys[dev]
 
     # Which DeviceKeys fields each backend's compute path consumes (the
